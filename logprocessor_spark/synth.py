@@ -117,13 +117,17 @@ def gen_pages(
     refto = F.when(~is_rq, F.concat(F.lit("msg-"), (F.col("id") - 1).cast("string")))
     pcc = _pick(9, PCCS)
 
-    # body: 6 lang words + optional entity trailer
-    words = []
-    for i in range(6):
-        w = F.lit(None).cast("string")
-        for lg, vocab in LANG_WORDS.items():
-            w = F.when(lang == lg, _pick(20 + i, vocab)).otherwise(w)
-        words.append(F.coalesce(w, _pick(20 + i, LANG_WORDS["en"])))
+    # body: 6 lang words + optional entity trailer. A map lookup (not a
+    # nested when-chain per word) keeps the codegen'd method under janino's
+    # 64KB limit so whole-stage codegen survives.
+    vocab_map = F.create_map(
+        *[x for lg, vs in LANG_WORDS.items() for x in (F.lit(lg), F.array(*[F.lit(v) for v in vs]))]
+    )
+    vocab = F.coalesce(vocab_map[lang], vocab_map[F.lit("en")])
+    words = [
+        F.element_at(vocab, (_h(20 + i, len(LANG_WORDS["en"])) + 1).cast("int"))
+        for i in range(6)
+    ]
     body_text = F.concat_ws(" ", *words)
     with_entity = _h(10, 7) == 0
     body_html = F.when(with_entity, F.concat(body_text, F.lit(" " + ENTITY_HTML))).otherwise(body_text)
