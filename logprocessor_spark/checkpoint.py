@@ -1,0 +1,87 @@
+"""Partition-granular checkpoint ledger + metrics (X5-X7, north_rule).
+
+The reference tracked progress in an in-memory atom (processing.clj:16,24-43)
+and leaned on ES ``_id`` upserts for re-run idempotence (es.clj:102-103).
+Here progress is durable:
+
+* **ledger** — one JSON manifest per completed input partition,
+  ``<dir>/ledger/<partition_key>.json``, written atomically via
+  write-temp-then-rename *after* the sink write for that batch commits.
+  A resumed run lists the ledger and skips done partitions. The rename is
+  the commit point: a crash before it leaves no entry, and the re-run's
+  dynamic partition overwrite replaces any half-written sink dirs for that
+  partition — exactly-once *effects* from at-least-once execution.
+  (With Iceberg this would be a snapshot tag / MERGE into a ledger table;
+  the manifest file is the sandbox-fallback with the same atomicity.)
+* **metrics** — per (run_id, partition_key, sink) row counts appended as
+  Parquet — the durable replacement for the progress atom, queryable as a
+  table (FIXTURES.md §5).
+
+Driver-side work here is O(#partitions) tiny JSON files — at 10^12 docs
+across ~10^4 day-partitions that is trivially small; no data moves through
+the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .schema import METRICS_SCHEMA
+
+
+class Ledger:
+    def __init__(self, directory: str):
+        self.dir = directory
+        os.makedirs(self.dir, exist_ok=True)
+
+    def done_partitions(self) -> set[str]:
+        out = set()
+        for fn in os.listdir(self.dir):
+            if fn.endswith(".json"):
+                with open(os.path.join(self.dir, fn)) as f:
+                    rec = json.load(f)
+                if rec.get("status") == "done":
+                    out.add(rec["partition_key"])
+        return out
+
+    def mark_done(
+        self, run_id: str, partition_key: str, rows_in: int, rows_out: int
+    ) -> None:
+        rec = {
+            "run_id": run_id,
+            "partition_key": partition_key,
+            "status": "done",
+            "rows_in": rows_in,
+            "rows_out": rows_out,
+            "committed_at": datetime.now(timezone.utc).isoformat(),
+        }
+        fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(rec, f)
+        os.replace(tmp, os.path.join(self.dir, f"{partition_key}.json"))  # atomic commit
+
+    def entries(self) -> list[dict]:
+        out = []
+        for fn in sorted(os.listdir(self.dir)):
+            if fn.endswith(".json"):
+                with open(os.path.join(self.dir, fn)) as f:
+                    out.append(json.load(f))
+        return out
+
+
+def append_metrics(
+    spark: SparkSession, path: str, rows: list[tuple], wall_ms: int | None = None
+) -> None:
+    """rows: (run_id, partition_key, sink, parsed, quarantined, routed)."""
+    full = [(*r, wall_ms) for r in rows]
+    spark.createDataFrame(full, METRICS_SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def read_metrics(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.schema(METRICS_SCHEMA).parquet(path)

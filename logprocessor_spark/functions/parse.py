@@ -61,9 +61,12 @@ def _nullify(c: Column) -> Column:
     return F.when(c == "", None).otherwise(c)
 
 
-def parse_pages(pages: DataFrame, with_text: bool = True) -> DataFrame:
+def parse_pages(
+    pages: DataFrame, with_text: bool = True, extra_cols: list[str] | None = None
+) -> DataFrame:
     """Native-expression parse: pages(url, warc_ts, html, text, lang) ->
-    PARSED_SCHEMA columns. One projection; Catalyst prunes unused inputs.
+    PARSED_SCHEMA columns (+ ``extra_cols`` passed through, e.g. the
+    partition key ``dt``). One projection; Catalyst prunes unused inputs.
     """
     s = F.decode(F.col("html"), "UTF-8")
     cols = {
@@ -109,6 +112,7 @@ def parse_pages(pages: DataFrame, with_text: bool = True) -> DataFrame:
         detail_id.alias("detail_id"),
         (extract_text_col(F.col("html")) if with_text else F.col("text")).alias("text"),
         error.alias("error"),
+        *[F.col(c) for c in (extra_cols or [])],
     )
     return out
 

@@ -1,0 +1,175 @@
+"""End-to-end pipeline job: parse -> enrich -> route -> write -> aggregate.
+
+The Spark reshaping of the reference's `PUT /tasks` lifecycle (SURVEY §3.1):
+one declarative plan per batch of input partitions; Catalyst fuses
+scan + parse + enrich + route into a single codegen stage, the only
+shuffle is the fan-out write's repartition on (sink, month, dt), and the
+per-sink aggregates run off the same parsed data.
+
+Resume (X7): input day-partitions already marked done in the ledger are
+skipped; re-processing a day is idempotent (dynamic partition overwrite +
+message_id dedup). ``group_size`` bounds the checkpoint granularity:
+smaller = finer resume, larger = fewer job rounds. Run it standalone via
+``spark-submit --py-files logprocessor_spark.zip -m`` or import
+``run_pipeline``.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .checkpoint import Ledger, append_metrics
+from .functions.parse import parse_pages, parse_pages_pandas
+from .operators.aggregate import sink_aggregates
+from .operators.enrich import enrich
+from .operators.route import route
+from .sinks import write_fanout
+from .synth import default_rules, gen_agent_dim, gen_geo_dim
+
+
+@dataclass
+class PipelineResult:
+    run_id: str
+    processed_partitions: list[str]
+    skipped_partitions: list[str]
+    rows_in: int = 0
+    rows_out: int = 0
+    quarantined: int = 0
+    wall_ms: int = 0
+    sink_counts: dict = field(default_factory=dict)
+
+
+def _chunks(xs: list, k: int):
+    for i in range(0, len(xs), k):
+        yield xs[i : i + k]
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages_path: str,
+    out_dir: str,
+    run_id: str = "run-0",
+    geo_dim: DataFrame | None = None,
+    agent_dim: DataFrame | None = None,
+    rules: DataFrame | None = None,
+    group_size: int | None = None,
+    use_pandas_parse: bool = False,
+    partitions: list[str] | None = None,
+) -> PipelineResult:
+    """Process all pending day-partitions of ``pages_path`` into
+    ``out_dir/{routed,ledger,metrics}``. Deterministic, resumable."""
+    t0 = time.time()
+    geo_dim = geo_dim if geo_dim is not None else gen_geo_dim(spark)
+    agent_dim = agent_dim if agent_dim is not None else gen_agent_dim(spark)
+    rules = rules if rules is not None else default_rules(spark)
+
+    # Hive partition inference types dt as date; pin to string so ledger
+    # keys and routed output partitions are stable across readers.
+    pages = spark.read.parquet(pages_path).withColumn(
+        "dt", F.col("dt").cast("string")
+    )
+    ledger = Ledger(f"{out_dir}/ledger")
+    done = ledger.done_partitions()
+    all_dts = partitions or sorted(
+        r.dt for r in pages.select("dt").distinct().collect()
+    )
+    pending = [d for d in all_dts if d not in done]
+    skipped = [d for d in all_dts if d in done]
+
+    result = PipelineResult(run_id, pending, skipped)
+    if not pending:
+        result.wall_ms = int((time.time() - t0) * 1000)
+        return result
+
+    for batch in _chunks(pending, group_size or len(pending)):
+        src = pages.where(F.col("dt").isin(batch))
+        if use_pandas_parse:
+            # parity path keeps dt by re-deriving it from warc_ts partition col
+            parsed = parse_pages_pandas(src.withColumn("url", F.col("url")))
+            parsed = parsed.join(
+                src.select("url", "dt"), on="url", how="inner"
+            )
+        else:
+            parsed = parse_pages(src, extra_cols=["dt"])
+        enriched = enrich(parsed, geo_dim, agent_dim)
+        routed = route(enriched, rules).drop("html")
+
+        write_fanout(routed, f"{out_dir}/routed")
+
+        # one aggregation pass feeds metrics + ledger counts for the batch
+        stats = (
+            routed.groupBy("dt", "sink")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        wall_ms = int((time.time() - t0) * 1000)
+        per_dt_in: dict[str, int] = {}
+        per_dt_out: dict[str, int] = {}
+        metric_rows = []
+        for r in stats:
+            per_dt_in[r.dt] = per_dt_in.get(r.dt, 0) + r.n
+            quarantined = r.n if r.sink == "quarantine" else 0
+            routed_n = 0 if r.sink == "quarantine" else r.n
+            per_dt_out[r.dt] = per_dt_out.get(r.dt, 0) + routed_n
+            result.quarantined += quarantined
+            result.sink_counts[r.sink] = result.sink_counts.get(r.sink, 0) + r.n
+            metric_rows.append(
+                (run_id, r.dt, r.sink, r.n, quarantined, routed_n)
+            )
+        append_metrics(spark, f"{out_dir}/metrics", metric_rows, wall_ms)
+        for dt in batch:
+            ledger.mark_done(run_id, dt, per_dt_in.get(dt, 0), per_dt_out.get(dt, 0))
+        result.rows_in += sum(per_dt_in.values())
+        result.rows_out += sum(per_dt_out.values())
+
+    result.wall_ms = int((time.time() - t0) * 1000)
+    return result
+
+
+def pipeline_aggregates(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Per-(sink, month) aggregate counts off the routed output — the
+    north_rule per-sink aggregate-counts gate."""
+    return sink_aggregates(spark.read.parquet(f"{out_dir}/routed"))
+
+
+def main() -> None:  # pragma: no cover - exercised via spark-submit
+    import argparse
+
+    from .session import get_spark
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--run-id", default="run-0")
+    ap.add_argument("--group-size", type=int, default=None)
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--pandas-parse", action="store_true")
+    args = ap.parse_args()
+    spark = get_spark(master=args.master)
+    res = run_pipeline(
+        spark,
+        args.pages,
+        args.out,
+        run_id=args.run_id,
+        group_size=args.group_size,
+        use_pandas_parse=args.pandas_parse,
+    )
+    print(
+        {
+            "run_id": res.run_id,
+            "rows_in": res.rows_in,
+            "rows_out": res.rows_out,
+            "quarantined": res.quarantined,
+            "wall_ms": res.wall_ms,
+            "sinks": res.sink_counts,
+            "skipped": len(res.skipped_partitions),
+        }
+    )
+
+
+if __name__ == "__main__":
+    main()
