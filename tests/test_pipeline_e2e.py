@@ -1,0 +1,146 @@
+"""End-to-end pipeline tests: per-sink aggregate counts, exact routed-row
+sets, quarantine, enrichment, and partition-granular resume (north_rule
+correctness gates; X7 semantics es.clj:102-103)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from logprocessor_spark.checkpoint import Ledger, read_metrics
+from logprocessor_spark.job import pipeline_aggregates, run_pipeline
+from logprocessor_spark.query import point_lookup, search
+from logprocessor_spark.sinks import read_sink
+from logprocessor_spark.synth import gen_pages, write_pages_partitioned
+
+N = 2000
+
+
+@pytest.fixture(scope="module")
+def pipe(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("pipe"))
+    pages = gen_pages(spark, N, seed=42)
+    write_pages_partitioned(pages, f"{base}/pages")
+    res = run_pipeline(spark, f"{base}/pages", f"{base}/out", run_id="r1")
+    return base, res
+
+
+def test_counts_conserved(spark, pipe):
+    base, res = pipe
+    assert res.rows_in == N
+    assert res.rows_in == res.rows_out + res.quarantined
+    routed = read_sink(spark, f"{base}/out/routed")
+    assert routed.count() == N  # quarantine rows are kept, not dropped
+
+
+def test_sink_partitioning_and_no_unknown_months(spark, pipe):
+    base, _ = pipe
+    routed = read_sink(spark, f"{base}/out/routed")
+    clean = routed.where("sink != 'quarantine'")
+    months = {r.month for r in clean.select("month").distinct().collect()}
+    assert months == {"2015.10", "2015.11", "2015.12"}
+    # routing column agrees with lang/msg_type rules
+    bad = clean.where(
+        (F.col("lang") == "en") & (F.col("sink") != "sink_en")
+        & ~F.col("msg_type").isin("OTA_PingRQ", "OTA_PingRS")
+    ).count()
+    assert bad == 0
+
+
+def test_quarantine_contents(spark, pipe):
+    base, res = pipe
+    q = read_sink(spark, f"{base}/out/routed", "quarantine")
+    assert q.count() == res.quarantined > 0
+    kinds = {r.k for r in q.select(F.substring("error", 1, 9).alias("k")).distinct().collect()}
+    assert kinds == {"parse err", "Incorrect"}
+
+
+def test_per_sink_aggregates_match_oracle(spark, pipe):
+    """Per-sink aggregate counts (north_rule gate): salted two-phase agg
+    must equal a plain groupBy count."""
+    base, _ = pipe
+    routed = read_sink(spark, f"{base}/out/routed")
+    got = {
+        (r.sink, r.month): r.doc_count
+        for r in pipeline_aggregates(spark, f"{base}/out").collect()
+    }
+    want = {
+        (r.sink, r.month): r.c
+        for r in routed.groupBy("sink", "month").agg(F.count("*").alias("c")).collect()
+    }
+    assert got == want
+
+
+def test_exact_routed_row_sets_deterministic(spark, pipe, tmp_path):
+    """Routed-row equality (north_rule gate): a fresh run over the same
+    input yields the exact same (sink, message_id|url) sets."""
+    base, _ = pipe
+    out2 = str(tmp_path / "out2")
+    run_pipeline(spark, f"{base}/pages", out2, run_id="again")
+    a = read_sink(spark, f"{base}/out/routed").select("sink", "url").collect()
+    b = read_sink(spark, out2 + "/routed").select("sink", "url").collect()
+    assert set(a) == set(b) and len(a) == len(b)
+
+
+def test_enrichment_columns(spark, pipe):
+    base, _ = pipe
+    routed = read_sink(spark, f"{base}/out/routed")
+    assert {"country", "region", "detail_kind", "is_request"} <= set(routed.columns)
+    # agent dim: every clean EndTransactionRQ row is a request with kind=ind
+    et = routed.where("msg_type = 'EndTransactionRQ'").select("detail_kind", "is_request").distinct().collect()
+    assert et and all(r.detail_kind == "ind" and r.is_request for r in et)
+    # geo dim covers ~90% of hosts; both hit and miss must exist
+    hits = routed.where(F.col("country").isNotNull()).count()
+    misses = routed.where(F.col("country").isNull()).count()
+    assert hits > 0 and misses > 0
+
+
+def test_resume_skips_done_and_is_idempotent(spark, tmp_path):
+    """FIXTURES §5 resume: mark k of n partitions done, re-run, remaining
+    process exactly once and final state equals an uninterrupted run."""
+    base = str(tmp_path)
+    pages = gen_pages(spark, 600, seed=5)
+    write_pages_partitioned(pages, f"{base}/pages")
+
+    # uninterrupted reference run
+    run_pipeline(spark, f"{base}/pages", f"{base}/ref", run_id="full")
+    ref = read_sink(spark, f"{base}/ref/routed")
+    ref_rows = set(ref.select("sink", "url").collect())
+
+    # interrupted run: process only the first 10 partitions, then resume
+    dts = sorted(r.dt for r in ref.select("dt").distinct().collect())
+    first = run_pipeline(
+        spark, f"{base}/pages", f"{base}/out", run_id="part1", partitions=dts[:10]
+    )
+    assert first.processed_partitions == dts[:10]
+    resumed = run_pipeline(spark, f"{base}/pages", f"{base}/out", run_id="part2")
+    assert set(resumed.skipped_partitions) == set(dts[:10])
+    assert set(resumed.processed_partitions) == set(dts[10:])
+
+    got = set(read_sink(spark, f"{base}/out/routed").select("sink", "url").collect())
+    assert got == ref_rows
+
+    # third run: nothing pending, nothing rewritten
+    third = run_pipeline(spark, f"{base}/pages", f"{base}/out", run_id="part3")
+    assert third.processed_partitions == []
+    assert set(read_sink(spark, f"{base}/out/routed").select("sink", "url").collect()) == ref_rows
+
+
+def test_ledger_and_metrics(spark, pipe):
+    base, res = pipe
+    ledger = Ledger(f"{base}/out/ledger")
+    entries = ledger.entries()
+    assert len(entries) == len(res.processed_partitions)
+    assert all(e["status"] == "done" for e in entries)
+    assert sum(e["rows_in"] for e in entries) == N
+    m = read_metrics(spark, f"{base}/out/metrics")
+    agg = m.groupBy().agg(F.sum("parsed").alias("p"), F.sum("quarantined").alias("q")).collect()[0]
+    assert agg.p == N and agg.q == res.quarantined
+
+
+def test_read_path(spark, pipe):
+    base, _ = pipe
+    routed = read_sink(spark, f"{base}/out/routed")
+    row = routed.where("sink = 'sink_en'").select("message_id").first()
+    assert point_lookup(routed, row.message_id).count() == 1
+    res = search(routed, "booking", limit=50)
+    assert 0 < res.count() <= 50
+    assert "text" not in res.columns  # raw excluded (db.cljs:21 analog)
