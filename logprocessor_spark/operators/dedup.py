@@ -1,0 +1,275 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, all shuffle-conscious (the join/groupBy keys are what make
+or break these at 10^9+ documents):
+
+* exact            — hash-groupBy on md5(text): shuffle key is 32 bytes,
+                     never the document itself.
+* minhash_lsh      — word-shingles -> seeded-hash minhash signature ->
+                     banded LSH bucket join -> exact Jaccard verify.
+                     Candidate generation is equi-join on (band, band_hash):
+                     no O(n^2) cross join ever materializes.
+* simhash          — 64-bit sign-of-weighted-bit-sums fingerprint computed
+                     with higher-order functions (aggregate/transform, no
+                     UDF); near-dup candidates via 16-bit chunk banding
+                     (Hamming<=3 guarantees >=1 of 4 chunks equal).
+* ngram_jaccard    — exact Jaccard on char-n-gram sets for candidate pairs.
+* embedding cosine — see similarity.py (near_dup_pairs reuses its LSH).
+
+All functions return DataFrames and compose with the pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per distinct text. Two-step: (1) min-id per
+    md5 group — map-side combinable agg; (2) semi-join winners back.
+    The md5 collision risk at 10^12 docs is ~2^-50 — acceptable; switch to
+    (md5, length) pair key to drive it lower for free."""
+    key = F.md5(F.encode(F.col(text_col), "UTF-8")).alias("__k")
+    winners = df.select(key, F.col(id_col)).groupBy("__k").agg(
+        F.min(id_col).alias(id_col)
+    )
+    return df.join(winners, on=id_col, how="leftsemi")
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Duplicate clusters: (fingerprint, n_dupes, keeper_id) for groups >1."""
+    return (
+        df.groupBy(F.md5(F.encode(F.col(text_col), "UTF-8")).alias("fingerprint"))
+        .agg(F.count("*").alias("n_dupes"), F.min(id_col).alias("keeper_id"))
+        .where(F.col("n_dupes") > 1)
+    )
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles as array<string> (native HOFs)."""
+    words = F.split(F.trim(F.lower(text)), r"\s+")
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j).cast("int")) for j in range(k)])
+    )
+    return F.array_distinct(sh)
+
+
+def char_ngrams(text: Column, n: int = 5) -> Column:
+    """Distinct character n-grams as array<string>."""
+    ln = F.length(text)
+    idx = F.sequence(F.lit(1), F.greatest(ln - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(text, i, n)))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature: per seed i, min over shingles of xxhash64(s, i).
+    Pure expressions — the signature computes inside the scan stage."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(shingles, lambda s: F.xxhash64(s, i))
+        ),
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a, id_b, jaccard_sim) with sim >= threshold.
+
+    rows-per-band r = num_hashes/bands; LSH catch probability at the
+    threshold ~ 1-(1-t^r)^b. Candidates come from an equi-join on
+    (band_idx, xxhash64 of the band slice); verification is exact Jaccard
+    on the shingle sets. At scale the band join is the only shuffle and
+    its keys are 16 bytes."""
+    r = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        word_shingles(F.col(text_col), shingle_k).alias("__sh"),
+    ).withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
+
+    banded = base.select(
+        "__id",
+        "__sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("__sig"), b * r + 1, r).cast("string")
+                    ).alias("bhash"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("__id", "__sh", "bk.band", "bk.bhash")
+
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bhash") == F.col("b.bhash"),
+                F.col("a.__id") < F.col("b.__id"),
+            ],
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__sh").alias("sh_a"),
+            F.col("b.__sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard_sim", 4).alias("jaccard_sim"))
+    )
+
+
+def simhash(text: Column, bits: int = 64) -> Column:
+    """SimHash fingerprint as a long: bit b is 1 iff the sum over tokens of
+    (+1 if bit b of xxhash64(token) else -1) is positive.
+
+    One ``aggregate`` pass over the tokens builds all 64 bit-votes at once
+    (zip_with against the token hash's bit array via ``bit_get``, which
+    accepts column positions); packing uses compile-time int shifts. Stays
+    JVM-side, single pass over the data."""
+    tokens = F.split(F.trim(F.lower(text)), r"\s+")
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    positions = F.sequence(F.lit(0), F.lit(bits - 1))
+    bit_votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(positions, lambda b: F.bit_get(h, b)),
+            lambda a, bit: a + F.when(bit == 1, 1).otherwise(-1),
+        ),
+    )
+    packed = F.lit(0).cast("long")
+    for b in range(bits):
+        weight = -(1 << 63) if b == 63 else (1 << b)
+        packed = packed + F.when(
+            F.element_at(bit_votes, b + 1) > 0, F.lit(weight).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return packed
+
+
+def simhash_candidates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit fingerprint into 4
+    16-bit chunks (pigeonhole: hamming<=3 => >=1 chunk identical), bucket
+    join on (chunk_idx, chunk_value), verify exact Hamming distance."""
+    base = df.select(
+        F.col(id_col).alias("__id"), simhash(F.col(text_col)).alias("__sh")
+    )
+    chunks = base.select(
+        "__id",
+        "__sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright(F.col("__sh"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cval"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("__id", "__sh", "ck.chunk", "ck.cval")
+    cand = (
+        chunks.alias("a")
+        .join(
+            chunks.alias("b"),
+            on=[
+                F.col("a.chunk") == F.col("b.chunk"),
+                F.col("a.cval") == F.col("b.cval"),
+                F.col("a.__id") < F.col("b.__id"),
+            ],
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__sh").alias("sh_a"),
+            F.col("b.__sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", hamming).where(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.7,
+    prefilter_bands: int = 8,
+) -> DataFrame:
+    """Char-n-gram Jaccard near-dups; candidates via minhash bands over the
+    n-gram sets (never all-pairs), verified exactly."""
+    base = df.select(
+        F.col(id_col).alias("__id"), char_ngrams(F.col(text_col), n).alias("__sh")
+    ).withColumn("__sig", minhash_signature(F.col("__sh"), prefilter_bands * 4))
+    r = 4
+    banded = base.select(
+        "__id",
+        "__sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(prefilter_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.slice(F.col("__sig"), b * r + 1, r).cast("string")).alias("bhash"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("__id", "__sh", "bk.band", "bk.bhash")
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bhash") == F.col("b.bhash"),
+                F.col("a.__id") < F.col("b.__id"),
+            ],
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__sh").alias("sh_a"),
+            F.col("b.__sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard_sim", 4).alias("jaccard_sim"))
+    )
