@@ -1,0 +1,101 @@
+"""Similarity-search tests on the driver-provided embeddings table."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from logprocessor_spark.operators.similarity import (
+    cosine_knn_join,
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_ann_topk,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def query_vec(emb):
+    return [float(x) for x in emb.where("vec_id = 0").first().embedding]
+
+
+def test_brute_force_topk(emb, query_vec):
+    rows = cosine_topk(emb, query_vec, k=10).collect()
+    assert len(rows) == 10
+    assert rows[0].vec_id == 0 and rows[0].cosine_sim == 1.0
+    sims = [r.cosine_sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_topk_oracle_parity_duckdb(emb, query_vec):
+    """Value-level parity with DuckDB list_dot_product on doubles."""
+    import duckdb
+
+    got = {(r.vec_id, r.cosine_sim) for r in cosine_topk(emb, query_vec, k=5).collect()}
+    q = ",".join(str(x) for x in query_vec)
+    want = {
+        (r[0], round(r[1], 6))
+        for r in duckdb.sql(
+            f"""
+        SELECT vec_id,
+               list_dot_product(embedding::DOUBLE[], [{q}]::DOUBLE[]) /
+               (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+                sqrt(list_dot_product([{q}]::DOUBLE[], [{q}]::DOUBLE[]))) AS sim
+        FROM '{SF}/embeddings.parquet'
+        ORDER BY sim DESC, vec_id LIMIT 5
+        """
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_lsh_ann_finds_self_and_subsets_brute(emb, query_vec):
+    ann = lsh_ann_topk(emb, query_vec, k=5)
+    rows = ann.collect()
+    assert rows[0].vec_id == 0 and rows[0].cosine_sim == 1.0
+    # every ANN result's sim must equal the brute-force sim for that id
+    brute = {r.vec_id: r.cosine_sim for r in cosine_topk(emb, query_vec, k=500).collect()}
+    for r in rows:
+        assert brute[r.vec_id] == r.cosine_sim
+
+
+def test_lsh_candidate_reduction(emb, query_vec):
+    """The ANN path must scan far fewer rows than the corpus (the point of
+    the bucketing at 100 TB)."""
+    from logprocessor_spark.operators.similarity import hyperplane_bucket
+
+    dim = len(query_vec)
+    b = emb.withColumn("__b", hyperplane_bucket(F.col("embedding"), dim, 8, 42))
+    qb = (
+        emb.sparkSession.range(1)
+        .select(hyperplane_bucket(F.array(*[F.lit(x) for x in query_vec]), dim, 8, 42).alias("b"))
+        .collect()[0]
+        .b
+    )
+    cand = b.where(F.bit_count(F.col("__b").bitwiseXOR(F.lit(qb))) <= 1).count()
+    total = emb.count()
+    assert cand < total * 0.2
+
+
+def test_embedding_near_dups(emb):
+    planted = emb.limit(10).withColumn("vec_id", F.col("vec_id") + 100_000)
+    pairs = embedding_near_dup_pairs(emb.unionByName(planted), tau=0.999)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert {(i, i + 100_000) for i in range(10)} <= got
+
+
+def test_knn_join(emb):
+    queries = emb.limit(3).select(F.col("vec_id").alias("q_id"), "embedding")
+    out = cosine_knn_join(queries, emb, k=4)
+    rows = out.collect()
+    assert len(rows) == 12
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    for q, rs in by_q.items():
+        best = min(rs, key=lambda r: r.rank)
+        assert best.vec_id == q and best.cosine_sim == 1.0
