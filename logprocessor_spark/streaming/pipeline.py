@@ -1,0 +1,115 @@
+"""Streaming ingest: the batch plan re-bound to readStream (SURVEY §2f note —
+the reference is purely batch; streaming is engine-completeness on our side).
+
+Because parse/enrich/route are pure DataFrame transformations, the SAME
+functions run in both modes — the only streaming-specific code is source/
+sink binding, watermarking, and windowed aggregation. That symmetry is the
+point: one logical pipeline, two execution modes.
+
+* ``stream_pages``      — file-source readStream over a pages directory
+  (new day-partitions appear as files land; ``maxFilesPerTrigger`` bounds
+  micro-batch size at scale).
+* ``stream_pipeline``   — parse -> enrich -> route -> partitioned parquet
+  sink with checkpointing (exactly-once file sink semantics).
+* ``windowed_sink_counts`` — tumbling-window per-sink counts with a
+  watermark for late data (the streaming twin of sink_aggregates).
+* ``sessionize``        — session_window aggregation over an event stream
+  (stateful op; session gap closes after inactivity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.parse import parse_pages
+from ..operators.enrich import enrich
+from ..operators.route import route
+from ..schema import PAGES_SCHEMA
+
+
+def stream_pages(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    # schema deliberately excludes the dt partition column: depending on
+    # listing-cache state the file source may re-infer it from the dir
+    # layout, and a user-supplied dt would then collide (COLUMN_ALREADY_EXISTS)
+    reader = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def stream_pipeline(
+    pages_stream: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    geo_dim: DataFrame,
+    agent_dim: DataFrame,
+    rules: DataFrame,
+    available_now: bool = True,
+):
+    """Run the full pipeline as a stream into a partitioned parquet sink.
+    Returns the StreamingQuery (caller awaits termination)."""
+    parsed = parse_pages(pages_stream)
+    routed = route(enrich(parsed, geo_dim, agent_dim), rules)
+    writer = (
+        routed.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .partitionBy("sink", "month")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_sink_counts(
+    pages_stream: DataFrame,
+    geo_dim: DataFrame,
+    agent_dim: DataFrame,
+    rules: DataFrame,
+    window: str = "1 day",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Tumbling-window per-sink counts with late-data watermark. In a live
+    deployment the watermark bounds state: sinks x windows older than the
+    watermark are finalized and evicted."""
+    parsed = parse_pages(pages_stream)
+    routed = route(enrich(parsed, geo_dim, agent_dim), rules)
+    good = routed.where(F.col("ts").isNotNull())
+    return (
+        good.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "sink")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .select(F.col("w.start").alias("window_start"), "sink", "doc_count")
+    )
+
+
+def sessionize(
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session windows per user: groups events separated by < gap into one
+    session (stateful streaming aggregation; state pruned by watermark)."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            F.round("total_value", 2).alias("total_value"),
+        )
+    )
