@@ -1,0 +1,972 @@
+"""Driver-contract query harness: Spark queries + DuckDB oracle twins.
+
+Backs ``/root/repo/__spark_entry__.py``. Every operator family from
+SURVEY.md §2 (plus the training-data operators) is exposed as a
+``(spark, sf_dir) -> DataFrame`` callable with — wherever ANSI SQL can
+express it — a DuckDB oracle string computing the identical result on the
+same parquet tables.
+
+Parity rules (what makes value-hash comparison possible):
+* session timezone pinned to UTC on the Spark side; oracle timestamps use
+  tz-independent double ``AT TIME ZONE`` conversions.
+* money/value sums go through ``DECIMAL(18,2)`` so addition is exact and
+  order-independent in both engines; final output is ``round(double, 2)``.
+* cosine similarities are double-precision dot products rounded to 6.
+* timestamps are rendered as strings (``yyyy-MM-dd HH:mm:ss``).
+* every computed column is aliased identically in Spark and SQL.
+
+The log-pipeline queries (``log_*``) run the real parse→enrich→route
+operators over a pages table **constructed deterministically from the
+``documents`` testdata table** (BASELINE.json input_hint shape:
+url, warc_ts, html, text, lang). All embedded fields derive from
+``doc_id`` with engine-portable arithmetic (modulo + printf), so the
+DuckDB oracle recomputes the expected parse output analytically — an
+independent re-derivation, not a re-run of the same code.
+
+Reference parity points cited per query (rmuslimov/logprocessor):
+parsers.clj:18-43 (header extraction), parsers.clj:24-32 (clean-ts),
+parsers.clj:45-63 (errors/details), utils.clj:47-65 (enrich+quarantine),
+es.clj:99-104 (month routing), db.cljs:15-21 (search), es.clj:119-125
+(point lookup).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .functions.parse import parse_pages
+from .functions.textstats import (
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from .operators.aggregate import salted_agg
+from .operators.dedup import (
+    exact_dedup,
+    exact_dup_groups,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash_candidates,
+)
+from .operators.route import route
+from .operators.similarity import cosine, cosine_knn_join, cosine_topk, lsh_ann_topk
+from .synth import default_rules
+
+# ---------------------------------------------------------------------------
+# deterministic page-construction constants (shared Spark <-> SQL)
+
+SERVICES = ["ReadSession", "EndTransaction", "Ping", "RetrieveItinerary", "BookSegment"]
+MSG_TYPES = [
+    "EndTransactionRQ",
+    "TravelItineraryReadRQ",
+    "OTA_PingRQ",
+    "EndTransactionRS",
+    "TravelItineraryReadRS",
+    "OTA_PingRS",
+]
+PCCS = ["AB12", "CD34", "EF56", "GH78"]
+ERROR_MSGS = [
+    "PREVIOUS ENTRY IN PROGRESS, PLEASE WAIT",
+    "INVALID PCC",
+    "SESSION EXPIRED",
+]
+BASE_TS = "2015-11-15 00:00:00"  # all-PST window: no DST transition until 2016-03-13
+SPAN = 75 * 86400
+MULT = 104729  # prime stride so (i*MULT) % SPAN wraps uniformly
+ERR_NO_MID = "parse error: no message-id marker"
+ERR_BAD_DATE = "Incorrect date: not-a-timestamp"
+JUNK = "adssad"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _arr(vals: list[str]) -> F.Column:
+    return F.array(*[F.lit(v) for v in vals])
+
+
+def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> pages(url, warc_ts, html, text, lang), fields derived
+    from doc_id with oracle-replicable arithmetic (FIXTURES.md §1 grammar)."""
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ii = i.cast("int")
+    svc = F.element_at(_arr(SERVICES), (ii % 5) + 1)
+    mt = F.element_at(_arr(MSG_TYPES), (ii % 6) + 1)
+    pcc = F.element_at(_arr(PCCS), (ii % 4) + 1)
+    is_rq = (ii % 6) <= 2
+    junk = (ii % 131) == 0
+    bad_date = (ii % 97) == 0
+    has_err = (ii % 19) == 0
+    two_err = (ii % 38) == 0
+    err1 = F.element_at(_arr(ERROR_MSGS), (ii % 3) + 1)
+    err2 = F.element_at(_arr(ERROR_MSGS), ((ii + 1) % 3) + 1)
+
+    event_utc = F.to_timestamp(F.lit(BASE_TS)) + F.make_interval(
+        secs=((i * MULT) % SPAN).cast("double")
+    )
+    la_wall = F.date_format(
+        F.from_utc_timestamp(event_utc, "America/Los_Angeles"), "yyyy-MM-dd'T'HH:mm:ss"
+    )
+    utc_wall = F.date_format(event_utc, "yyyy-MM-dd'T'HH:mm:ss")
+    ts_raw = F.when(bad_date, F.lit("not-a-timestamp")).otherwise(
+        F.when(is_rq, F.concat(la_wall, F.lit("Z"))).otherwise(utc_wall)
+    )
+
+    url = F.format_string("https://host%03d.example.com/d/%d", ii % 200, i)
+    session_id = F.concat(F.lit("sess-"), (ii % 50).cast("string"))
+    message_id = F.concat(F.lit("msg-"), i.cast("string"))
+    refto_meta = F.when(
+        ~is_rq & (i > 0),
+        F.concat(
+            F.lit('<meta name="refto" content="msg-'),
+            (i - 1).cast("string"),
+            F.lit('"/>\n'),
+        ),
+    ).otherwise(F.lit(""))
+    detail_attr = (
+        F.when(
+            mt == "EndTransactionRQ",
+            F.concat(
+                F.lit(' data-ind="'),
+                F.when((ii % 2) == 0, F.lit("true")).otherwise(F.lit("false")),
+                F.lit('"'),
+            ),
+        )
+        .when(
+            mt == "TravelItineraryReadRQ",
+            F.concat(F.lit(' data-id="ID'), i.cast("string"), F.lit('"')),
+        )
+        .otherwise(F.lit(""))
+    )
+    err_html = F.when(
+        has_err,
+        F.concat(
+            F.lit('<div class="errors"><span class="error-msg">'),
+            err1,
+            F.lit("</span>"),
+            F.when(
+                two_err,
+                F.concat(F.lit('<span class="error-msg">'), err2, F.lit("</span>")),
+            ).otherwise(F.lit("")),
+            F.lit("</div>"),
+        ),
+    ).otherwise(F.lit(""))
+
+    html = F.concat(
+        F.lit("<!DOCTYPE html><html><head><title>"), svc, F.lit("</title>\n"),
+        F.lit('<meta name="session-id" content="'), session_id, F.lit('"/>\n'),
+        F.lit('<meta name="message-id" content="'), message_id, F.lit('"/>\n'),
+        F.lit('<meta name="service" content="'), svc, F.lit('"/>\n'),
+        F.lit('<meta name="timestamp" content="'), ts_raw, F.lit('"/>\n'),
+        refto_meta,
+        F.lit('<meta name="pcc" content="'), pcc, F.lit('"/>\n'),
+        F.lit('<style>body{font:"x"}</style></head>\n<body class="'), mt,
+        F.lit('"'), detail_attr, F.lit("><h1>"), svc, F.lit("</h1>\n<p>"),
+        F.col("text"), F.lit("</p>"), err_html, F.lit("</body></html>"),
+    )
+    html = F.when(junk, F.lit(JUNK)).otherwise(html)
+    return docs.select(
+        url.alias("url"),
+        event_utc.alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+# SQL twin of the doc_id arithmetic above, reused by every log_* oracle.
+_ORACLE_CTE = f"""
+WITH fields AS (
+  SELECT
+    doc_id AS i, text, lang,
+    printf('https://host%03d.example.com/d/%d', CAST(doc_id % 200 AS INT), doc_id) AS url,
+    ({SERVICES!r})[CAST(doc_id % 5 AS INT) + 1] AS service,
+    ({MSG_TYPES!r})[CAST(doc_id % 6 AS INT) + 1] AS msg_type,
+    ({PCCS!r})[CAST(doc_id % 4 AS INT) + 1] AS pcc,
+    (doc_id % 6) <= 2 AS is_rq,
+    (doc_id % 131) = 0 AS junk,
+    (doc_id % 97) = 0 AS bad_date,
+    (doc_id % 19) = 0 AS has_err,
+    (doc_id % 38) = 0 AS two_err,
+    ({ERROR_MSGS!r})[CAST(doc_id % 3 AS INT) + 1] AS err1,
+    ({ERROR_MSGS!r})[CAST((doc_id + 1) % 3 AS INT) + 1] AS err2,
+    TIMESTAMP '{BASE_TS}' + ((doc_id * {MULT}) % {SPAN}) * INTERVAL 1 SECOND AS event_utc
+  FROM documents
+),
+parsed AS (
+  SELECT
+    i, text, lang, url, pcc, is_rq, junk, bad_date, has_err, two_err,
+    err1, err2, event_utc,
+    CASE WHEN junk THEN NULL ELSE service END AS service,
+    CASE WHEN junk THEN NULL ELSE msg_type END AS msg_type,
+    CASE WHEN junk THEN NULL ELSE 'sess-' || CAST(i % 50 AS VARCHAR) END AS session_id,
+    CASE WHEN junk THEN NULL ELSE 'msg-' || CAST(i AS VARCHAR) END AS message_id,
+    CASE WHEN junk OR is_rq OR i = 0 THEN NULL ELSE 'msg-' || CAST(i - 1 AS VARCHAR) END AS refto,
+    CASE WHEN junk THEN '{ERR_NO_MID}'
+         WHEN bad_date THEN '{ERR_BAD_DATE}'
+         ELSE NULL END AS error,
+    CASE WHEN junk OR bad_date THEN NULL ELSE event_utc END AS ts,
+    CASE WHEN NOT junk AND NOT has_err AND msg_type = 'EndTransactionRQ'
+         THEN (i % 2 = 0) ELSE NULL END AS ind,
+    CASE WHEN NOT junk AND NOT has_err AND msg_type = 'TravelItineraryReadRQ'
+         THEN 'ID' || CAST(i AS VARCHAR) ELSE NULL END AS detail_id
+  FROM fields
+)
+"""
+
+
+def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return parse_pages(pages_from_documents(spark, sf_dir))
+
+
+def _dec(col: str) -> F.Column:
+    return F.col(col).cast("decimal(18,2)")
+
+
+def _r2(c: F.Column) -> F.Column:
+    """Round in the exact DECIMAL domain, then cast to double.
+
+    Rounding a *double* differs between engines (Spark rounds the shortest
+    decimal repr, DuckDB rounds x*100): 2.675 → 2.68 vs 2.67. Rounding the
+    exact decimal is HALF_UP in both, and casting the same decimal to
+    double yields identical bits."""
+    return F.round(c, 2).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Group A — log pipeline on constructed pages (SURVEY §2a/2b/2c/2d)
+
+
+def q_log_parse_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F9: header + detail extraction, tz-normalize, error gate."""
+    p = _parsed(spark, sf_dir)
+    return p.select(
+        "url", "message_id", "session_id", "service", "msg_type", "pcc",
+        "refto",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "ind", "detail_id", "error",
+    )
+
+
+SQL_LOG_PARSE_FIELDS = _ORACLE_CTE + """
+SELECT url, message_id, session_id, service, msg_type,
+       CASE WHEN junk THEN NULL ELSE pcc END AS pcc,
+       refto,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+       ind, detail_id, error
+FROM parsed
+"""
+
+
+def q_log_parse_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: error-text extraction (array), joined for hash stability."""
+    p = _parsed(spark, sf_dir)
+    return p.where(F.size("errors") > 0).select(
+        "url", F.array_join("errors", "|").alias("errs")
+    )
+
+
+SQL_LOG_PARSE_ERRORS = _ORACLE_CTE + """
+SELECT url,
+       err1 || CASE WHEN two_err THEN '|' || err2 ELSE '' END AS errs
+FROM parsed WHERE has_err AND NOT junk
+"""
+
+
+def q_log_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The byte-identical-text invariant (BASELINE.json input_hint):
+    html -> text extraction verified value-for-value against an analytic
+    reconstruction."""
+    p = _parsed(spark, sf_dir)
+    return p.select("url", "text")
+
+
+SQL_LOG_EXTRACT_TEXT = _ORACLE_CTE + """
+SELECT url,
+       CASE WHEN junk THEN 'adssad'
+            ELSE service || ' ' || service || ' ' || text ||
+                 CASE WHEN has_err
+                      THEN ' ' || err1 || CASE WHEN two_err THEN ' ' || err2 ELSE '' END
+                      ELSE '' END
+       END AS text
+FROM parsed
+"""
+
+
+def q_log_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route (rules fan-out + monthly sink, es.clj:99-104) -> per-sink counts
+    — the north_rule 'per-sink aggregate counts' gate."""
+    p = _parsed(spark, sf_dir)
+    routed = route(p, default_rules(spark))
+    return routed.groupBy("sink", "month").agg(F.count(F.lit(1)).alias("doc_count"))
+
+
+SQL_LOG_ROUTE_COUNTS = _ORACLE_CTE + """
+SELECT CASE WHEN error IS NOT NULL THEN 'quarantine'
+            WHEN lang = 'en' THEN 'sink_en'
+            WHEN lang IN ('de','fr','es') THEN 'sink_eu'
+            WHEN msg_type IN ('OTA_PingRQ','OTA_PingRS') THEN 'sink_ping'
+            ELSE 'sink_misc' END AS sink,
+       coalesce(strftime(ts, '%Y.%m'), 'unknown') AS month,
+       count(*) AS doc_count
+FROM parsed GROUP BY 1, 2
+"""
+
+
+def q_log_routed_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact routed-row sets (north_rule 'routed-row equality'): the full
+    (sink, month, message_id) assignment, row for row."""
+    p = _parsed(spark, sf_dir)
+    routed = route(p, default_rules(spark))
+    return routed.select("url", "message_id", "sink", "month")
+
+
+SQL_LOG_ROUTED_ROWS = _ORACLE_CTE + """
+SELECT url, message_id,
+       CASE WHEN error IS NOT NULL THEN 'quarantine'
+            WHEN lang = 'en' THEN 'sink_en'
+            WHEN lang IN ('de','fr','es') THEN 'sink_eu'
+            WHEN msg_type IN ('OTA_PingRQ','OTA_PingRS') THEN 'sink_ping'
+            ELSE 'sink_misc' END AS sink,
+       coalesce(strftime(ts, '%Y.%m'), 'unknown') AS month
+FROM parsed
+"""
+
+
+def q_log_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/X4: parse-failure quarantine split (processing.clj:61)."""
+    p = _parsed(spark, sf_dir)
+    return p.where(F.col("error").isNotNull()).select("url", "error")
+
+
+SQL_LOG_QUARANTINE = _ORACLE_CTE + """
+SELECT url, error FROM parsed WHERE error IS NOT NULL
+"""
+
+
+def q_log_enrich_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: broadcast dictionary join (host -> nation dim built from the
+    nation table) + per-country counts."""
+    p = _parsed(spark, sf_dir)
+    nation = _t(spark, sf_dir, "nation")
+    geo = nation.select(
+        F.col("n_nationkey").alias("geo_key"), F.col("n_name").alias("country")
+    )
+    withkey = p.withColumn(
+        "geo_key", (F.substring("host", 5, 3).cast("int") % 25).cast("long")
+    )
+    joined = withkey.join(F.broadcast(geo), on="geo_key", how="left")
+    return joined.groupBy("country").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+SQL_LOG_ENRICH_GEO = _ORACLE_CTE + """
+SELECT n.n_name AS country, count(*) AS n_docs
+FROM parsed p LEFT JOIN nation n
+  ON (CAST(p.i % 200 AS INT) % 25) = n.n_nationkey
+GROUP BY 1
+"""
+
+
+def q_log_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: point lookup by message id (es.clj:119-125) — pushed-down
+    equality predicate + column pruning."""
+    p = _parsed(spark, sf_dir)
+    return p.where(F.col("message_id") == "msg-42").select(
+        "url", "message_id", "service", "msg_type"
+    )
+
+
+SQL_LOG_POINT_LOOKUP = _ORACLE_CTE + """
+SELECT url, message_id, service, msg_type FROM parsed WHERE message_id = 'msg-42'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Group B — relational core on TPC-H-ish tables (§2d-2f coverage beyond ref)
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r2(F.sum(_dec("l_quantity"))).alias("sum_qty"),
+            _r2(F.sum(_dec("l_extendedprice"))).alias("sum_base_price"),
+            _r2(F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
+  count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1+O2: top-k = TakeOrderedAndProject (no global sort)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TOPK_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_join_enrich_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 at dim-chain depth 2: customer ⋈ nation ⋈ region, both dims
+    broadcast; per-region rollup of account balances (exact decimal sum)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return j.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        _r2(F.sum(_dec("c_acctbal"))).alias("total_acctbal"),
+    )
+
+
+SQL_JOIN_ENRICH_REGION = """
+SELECT r_name, count(*) AS n_customers,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers that never placed an URGENT order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+SQL_ANTI_JOIN_CUSTOMERS = """
+SELECT c_custkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def q_semi_join_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: suppliers that shipped at least one lineitem."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    return s.join(li, s.s_suppkey == li.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+SQL_SEMI_JOIN_SUPPLIERS = """
+SELECT s_suppkey, s_name FROM supplier
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+"""
+
+
+def q_window_top3_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function: top-3 orders per customer by price."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= 3)
+    )
+
+
+SQL_WINDOW_TOP3_ORDERS = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 3
+"""
+
+
+def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets rollup with subtotal + grand-total rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _r2(F.sum(_dec("l_quantity"))).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "n_items",
+            "sum_qty",
+        )
+    )
+
+
+SQL_ROLLUP_LINEITEM = """
+SELECT coalesce(l_returnflag, 'ALL') AS flag,
+       coalesce(l_linestatus, 'ALL') AS status,
+       count(*) AS n_items,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def q_set_except_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: customers ordering in 1995 EXCEPT those ordering in 1996."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    b = o.where(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    return a.subtract(b)
+
+
+SQL_SET_EXCEPT_CUSTKEYS = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+EXCEPT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+"""
+
+
+def q_salted_agg_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 + north_rule skew handling: two-phase salted aggregate must be
+    bit-equal to the plain groupBy the oracle computes."""
+    li = _t(spark, sf_dir, "lineitem").withColumn("qty_dec", _dec("l_quantity"))
+    out = salted_agg(
+        li,
+        keys=["l_returnflag"],
+        aggs={
+            "n_items": ("count", None),
+            "sum_qty_dec": ("sum", "qty_dec"),
+            "max_ship": ("max", "l_shipdate"),
+        },
+        salt_col="l_orderkey",
+        salt_buckets=64,
+    )
+    return out.select(
+        "l_returnflag",
+        "n_items",
+        _r2(F.col("sum_qty_dec")).alias("sum_qty"),
+        F.date_format("max_ship", "yyyy-MM-dd").alias("max_ship_str"),
+    )
+
+
+SQL_SALTED_AGG_PARITY = """
+SELECT l_returnflag, count(*) AS n_items,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+       strftime(max(l_shipdate), '%Y-%m-%d') AS max_ship_str
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Group C — events (hourly windows, sessionization)
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h aggregate — the batch twin of the streaming windowed
+    sink counts (streaming/pipeline.py)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _r2(F.sum(_dec("value"))).alias("value_sum"),
+        )
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS value_sum
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min inactivity gap starts a new session."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # events.ts is TIMESTAMP_NTZ in parquet; cast for unix_micros (session
+    # tz is UTC so the instant is unambiguous and matches DuckDB epoch_us)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = (us - F.lag(us).over(w)) > F.lit(1800 * 1_000_000)
+    return (
+        e.withColumn("new_sess", F.when(gap, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg((F.sum("new_sess") + 1).alias("n_sessions"))
+    )
+
+
+SQL_EVENTS_SESSIONIZE = """
+SELECT user_id, 1 + sum(CASE WHEN epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END) AS n_sessions
+FROM (SELECT user_id, ts, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us FROM events)
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Group D — training-data operators: dedup / text / similarity
+
+
+def _docs_with_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    shifted = d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    return d.unionAll(shifted)
+
+
+def q_dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (hash-groupBy on md5): survivors of a corpus doubled by
+    construction — keeps the min doc_id per distinct text."""
+    return exact_dedup(_docs_with_dupes(spark, sf_dir)).select("doc_id")
+
+
+SQL_DEDUP_EXACT_KEEP = """
+SELECT min(doc_id) AS doc_id FROM (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 100000, text FROM documents
+) GROUP BY md5(text)
+"""
+
+
+def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dup_groups(_docs_with_dupes(spark, sf_dir))
+
+
+SQL_DEDUP_EXACT_GROUPS = """
+SELECT md5(text) AS fingerprint, count(*) AS n_dupes, min(doc_id) AS keeper_id
+FROM (SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id + 100000, text FROM documents)
+GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs — xxhash64-based, no SQL oracle
+    (driver records rows-only)."""
+    return minhash_lsh_dedup(
+        _docs_with_dupes(spark, sf_dir), threshold=0.8
+    ).orderBy("id_a", "id_b")
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banding near-dup pairs (rows-only check)."""
+    return simhash_candidates(
+        _docs_with_dupes(spark, sf_dir), max_hamming=3
+    ).orderBy("id_a", "id_b")
+
+
+def q_dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-5-gram Jaccard near-dup pairs (rows-only check)."""
+    return ngram_jaccard_pairs(
+        _docs_with_dupes(spark, sf_dir), threshold=0.9
+    ).orderBy("id_a", "id_b")
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish) and md5 fingerprinting."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+        fingerprint(F.col("text")).alias("fp"),
+        F.length("text").cast("long").alias("n_chars_computed"),
+    )
+
+
+SQL_TEXT_STATS = r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+       md5(text) AS fp,
+       CAST(length(text) AS BIGINT) AS n_chars_computed
+FROM documents
+"""
+
+
+def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic stopword language-ID vs an analytic SQL twin."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(lang_id(F.col("text")).alias("lang_pred")).groupBy(
+        "lang_pred"
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+SQL_LANG_ID_COUNTS = r"""
+WITH s AS (
+  SELECT
+    len(regexp_extract_all(text, '(?i)\b(the|and|of|to|a|in|is|it)\b')) AS s_en,
+    len(regexp_extract_all(text, '(?i)\b(der|die|und|das|ist|nicht|ein)\b')) AS s_de,
+    len(regexp_extract_all(text, '(?i)\b(le|la|et|les|des|est|une)\b')) AS s_fr,
+    len(regexp_extract_all(text, '(?i)\b(el|la|los|que|es|una|por)\b')) AS s_es
+  FROM documents
+), p AS (
+  SELECT CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'
+              WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+              WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+              WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+              ELSE 'es' END AS lang_pred
+  FROM s
+)
+SELECT lang_pred, count(*) AS n_docs FROM p GROUP BY lang_pred
+"""
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (C4/Gopher-style cheap filters)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("qscore"))
+
+
+SQL_QUALITY_SCORES = r"""
+WITH f AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+    len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+    len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+    len(regexp_extract_all(text, '(?i)\b(the|and|of|to|a|in|is|it)\b')) AS n_stop
+  FROM documents
+), g AS (
+  SELECT doc_id,
+    (n_chars - (n_tokens - 1)) / (CASE WHEN n_tokens > 0 THEN n_tokens ELSE 1 END) AS mean_word_len,
+    n_punct / (CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END) AS punct_ratio,
+    n_digit / (CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END) AS digit_ratio,
+    n_stop / (CASE WHEN n_tokens > 0 THEN n_tokens ELSE 1 END) AS stopword_ratio
+  FROM f
+)
+SELECT doc_id,
+  round(0.4 * least(stopword_ratio * 4, 1.0)
+      + 0.3 * (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10 THEN 1.0 ELSE 0.0 END)
+      + 0.2 * (1.0 - least(punct_ratio * 5, 1.0))
+      + 0.1 * (1.0 - least(digit_ratio * 5, 1.0)), 4) AS qscore
+FROM g
+"""
+
+
+_COSINE_SQL_CORE = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+z AS (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+      FROM embeddings e CROSS JOIN q),
+s AS (SELECT vec_id, sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) AS c
+      FROM z GROUP BY vec_id)
+"""
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-k (ANN baseline); query = row vec_id=7."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 7).select("embedding").first()[0]
+    return cosine_topk(emb, list(qv), k=10)
+
+
+SQL_COSINE_TOPK = _COSINE_SQL_CORE + """
+SELECT vec_id, round(c, 6) AS cosine_sim FROM s
+ORDER BY round(c, 6) DESC, vec_id LIMIT 10
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k (rows-only check; recall asserted
+    against the exact baseline in tests/test_similarity.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 7).select("embedding").first()[0]
+    return lsh_ann_topk(emb, list(qv), k=10)
+
+
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast k-NN join: 3 query vectors x corpus, top-5 each."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id").isin(1, 2, 3)).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = cosine_knn_join(queries, emb, k=5)
+    return out.select("q_id", "vec_id", "cosine_sim", F.col("rank").cast("int").alias("rank"))
+
+
+SQL_KNN_JOIN = """
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id IN (1,2,3)),
+z AS (SELECT q.q_id, e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+      FROM embeddings e CROSS JOIN q),
+s AS (SELECT q_id, vec_id, round(sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))), 6) AS cosine_sim
+      FROM z GROUP BY q_id, vec_id),
+r AS (SELECT q_id, vec_id, cosine_sim,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine_sim DESC, vec_id) AS INT) AS rank
+      FROM s)
+SELECT q_id, vec_id, cosine_sim, rank FROM r WHERE rank <= 5
+"""
+
+
+def q_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs embedding near-dups (cosine >= 0.35) — the
+    verification twin of the LSH-bucketed path at scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim")
+        )
+        .where(F.col("cosine_sim") >= 0.35)
+    )
+
+
+SQL_NEAR_DUP_EMBEDDINGS = """
+WITH z AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+), s AS (
+  SELECT id_a, id_b, round(sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))), 6) AS cosine_sim
+  FROM z GROUP BY id_a, id_b
+)
+SELECT id_a, id_b, cosine_sim FROM s WHERE cosine_sim >= 0.35
+"""
+
+
+def q_doc_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 full-text AND search (db.cljs:15-21 semantics) over documents."""
+    d = _t(spark, sf_dir, "documents")
+    out = d
+    for term in ["spark", "join"]:
+        out = out.where(
+            F.array_contains(F.split(F.lower(F.col("text")), r"\s+"), term)
+        )
+    return out.select("doc_id", "lang").orderBy("doc_id").limit(120)
+
+
+SQL_DOC_SEARCH_TOPK = """
+SELECT doc_id, lang FROM documents
+WHERE (' ' || lower(text) || ' ') LIKE '% spark %'
+  AND (' ' || lower(text) || ' ') LIKE '% join %'
+ORDER BY doc_id LIMIT 120
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+
+def flagship(spark: SparkSession) -> DataFrame:
+    """entry(): full parse→enrich→route→aggregate over pages constructed
+    from sf0.001 documents — the pipeline's logical plan end to end."""
+    sf_dir = "/root/testdata/sf0.001"
+    p = _parsed(spark, sf_dir)
+    nation = _t(spark, sf_dir, "nation")
+    geo = nation.select(
+        F.col("n_nationkey").alias("geo_key"), F.col("n_name").alias("country")
+    )
+    p = p.withColumn(
+        "geo_key", (F.substring("host", 5, 3).cast("int") % 25).cast("long")
+    ).join(F.broadcast(geo), on="geo_key", how="left")
+    routed = route(p, default_rules(spark))
+    return (
+        routed.groupBy("sink", "month")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.countDistinct("country").alias("n_countries"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("min_ts"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+        )
+        .orderBy("sink", "month")
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "log_parse_fields": q_log_parse_fields,
+    "log_parse_errors": q_log_parse_errors,
+    "log_extract_text": q_log_extract_text,
+    "log_route_counts": q_log_route_counts,
+    "log_routed_rows": q_log_routed_rows,
+    "log_quarantine": q_log_quarantine,
+    "log_enrich_geo": q_log_enrich_geo,
+    "log_point_lookup": q_log_point_lookup,
+    "tpch_q1": q_tpch_q1,
+    "topk_orders": q_topk_orders,
+    "join_enrich_region": q_join_enrich_region,
+    "anti_join_customers": q_anti_join_customers,
+    "semi_join_suppliers": q_semi_join_suppliers,
+    "window_top3_orders": q_window_top3_orders,
+    "rollup_lineitem": q_rollup_lineitem,
+    "set_except_custkeys": q_set_except_custkeys,
+    "salted_agg_parity": q_salted_agg_parity,
+    "events_hourly": q_events_hourly,
+    "events_sessionize": q_events_sessionize,
+    "dedup_exact_keep": q_dedup_exact_keep,
+    "dedup_exact_groups": q_dedup_exact_groups,
+    "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_ngram_pairs": q_dedup_ngram_pairs,
+    "text_stats": q_text_stats,
+    "lang_id_counts": q_lang_id_counts,
+    "quality_scores": q_quality_scores,
+    "cosine_topk": q_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "knn_join": q_knn_join,
+    "near_dup_embeddings": q_near_dup_embeddings,
+    "doc_search_topk": q_doc_search_topk,
+}
+
+ORACLES: dict[str, str] = {
+    "log_parse_fields": SQL_LOG_PARSE_FIELDS,
+    "log_parse_errors": SQL_LOG_PARSE_ERRORS,
+    "log_extract_text": SQL_LOG_EXTRACT_TEXT,
+    "log_route_counts": SQL_LOG_ROUTE_COUNTS,
+    "log_routed_rows": SQL_LOG_ROUTED_ROWS,
+    "log_quarantine": SQL_LOG_QUARANTINE,
+    "log_enrich_geo": SQL_LOG_ENRICH_GEO,
+    "log_point_lookup": SQL_LOG_POINT_LOOKUP,
+    "tpch_q1": SQL_TPCH_Q1,
+    "topk_orders": SQL_TOPK_ORDERS,
+    "join_enrich_region": SQL_JOIN_ENRICH_REGION,
+    "anti_join_customers": SQL_ANTI_JOIN_CUSTOMERS,
+    "semi_join_suppliers": SQL_SEMI_JOIN_SUPPLIERS,
+    "window_top3_orders": SQL_WINDOW_TOP3_ORDERS,
+    "rollup_lineitem": SQL_ROLLUP_LINEITEM,
+    "set_except_custkeys": SQL_SET_EXCEPT_CUSTKEYS,
+    "salted_agg_parity": SQL_SALTED_AGG_PARITY,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "dedup_exact_keep": SQL_DEDUP_EXACT_KEEP,
+    "dedup_exact_groups": SQL_DEDUP_EXACT_GROUPS,
+    # dedup_minhash_pairs / dedup_simhash_pairs / dedup_ngram_pairs /
+    # ann_lsh_topk: xxhash64-based — not SQL-expressible, rows-only check.
+    "text_stats": SQL_TEXT_STATS,
+    "lang_id_counts": SQL_LANG_ID_COUNTS,
+    "quality_scores": SQL_QUALITY_SCORES,
+    "cosine_topk": SQL_COSINE_TOPK,
+    "knn_join": SQL_KNN_JOIN,
+    "near_dup_embeddings": SQL_NEAR_DUP_EMBEDDINGS,
+    "doc_search_topk": SQL_DOC_SEARCH_TOPK,
+}
