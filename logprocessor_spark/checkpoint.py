@@ -78,9 +78,32 @@ class Ledger:
 def append_metrics(
     spark: SparkSession, path: str, rows: list[tuple], wall_ms: int | None = None
 ) -> None:
-    """rows: (run_id, partition_key, sink, parsed, quarantined, routed)."""
+    """rows: (run_id, partition_key, sink, parsed, quarantined, routed).
+
+    Written directly with pyarrow on the driver: the rows are O(#partitions)
+    tiny, and a Spark ``coalesce(1)`` write job costs seconds of fixed
+    scheduling per batch — pure overhead at any scale. The file is
+    parquet-compatible with ``read_metrics``'s schema."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     full = [(*r, wall_ms) for r in rows]
-    spark.createDataFrame(full, METRICS_SCHEMA).coalesce(1).write.mode("append").parquet(path)
+    cols = list(zip(*full)) if full else [[]] * 7
+    table = pa.table(
+        {
+            "run_id": pa.array(cols[0], pa.string()),
+            "partition_key": pa.array(cols[1], pa.string()),
+            "sink": pa.array(cols[2], pa.string()),
+            "parsed": pa.array(cols[3], pa.int64()),
+            "quarantined": pa.array(cols[4], pa.int64()),
+            "routed": pa.array(cols[5], pa.int64()),
+            "wall_ms": pa.array(cols[6], pa.int64()),
+        }
+    )
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(table, os.path.join(path, f"part-{uuid.uuid4().hex}.parquet"))
 
 
 def read_metrics(spark: SparkSession, path: str) -> DataFrame:

@@ -14,10 +14,11 @@ once and implemented three ways that must agree byte-for-byte:
                                 by the mapInPandas parity path
 
 Rules (deliberately simple and locale-free so no library-version drift):
-  a. drop <script>...</script> and <style>...</style> blocks (incl. tags)
-  b. replace every remaining tag <...> with a single space
-  c. decode the five XML entities + &nbsp; (to a plain space)
-  d. collapse runs of ASCII whitespace [ \\t\\n\\r\\f] to one space; trim
+  a. one left-to-right pass replaces each <script>...</script> block,
+     <style>...</style> block, or bare tag <...> with a single space
+     (longest applicable alternative wins at each '<')
+  b. decode the five XML entities + &nbsp; (to a plain space)
+  c. collapse runs of ASCII whitespace [ \\t\\n\\r\\f] to one space; trim
 
 Whitespace class is explicit ASCII because Java ``\\s`` and Python ``\\s``
 disagree on Unicode whitespace.
@@ -31,9 +32,14 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # Java and Python regex dialects agree on all of these patterns.
-_RE_SCRIPT = r"(?is)<script\b[^>]*>.*?</script>"
-_RE_STYLE = r"(?is)<style\b[^>]*>.*?</style>"
-_RE_TAG = r"<[^>]*>"
+# Script-block, style-block, and generic-tag stripping are ONE alternation
+# applied in a single left-to-right pass: at each '<', the longest
+# applicable alternative (script block > style block > bare tag) wins.
+# A single pass is both the spec (pinned here, mirrored byte-identically in
+# all three implementations) and the fast path — every regexp_replace is a
+# full-document rewrite, and markup stripping dominates parse-stage memory
+# traffic at high core counts.
+_RE_STRIP = r"(?is)<script\b[^>]*>.*?</script>|<style\b[^>]*>.*?</style>|<[^>]*>"
 _RE_WS = r"[ \t\n\r\f]+"
 
 _ENTITIES = [
@@ -45,9 +51,7 @@ _ENTITIES = [
     ("&amp;", "&"),  # last so "&amp;lt;" decodes to "&lt;" not "<"
 ]
 
-_PY_SCRIPT = re.compile(_RE_SCRIPT)
-_PY_STYLE = re.compile(_RE_STYLE)
-_PY_TAG = re.compile(_RE_TAG)
+_PY_STRIP = re.compile(_RE_STRIP)
 _PY_WS = re.compile(_RE_WS)
 
 
@@ -56,11 +60,10 @@ def extract_text_py(html: bytes | str | None) -> str | None:
     if html is None:
         return None
     s = html.decode("utf-8", errors="replace") if isinstance(html, bytes) else html
-    s = _PY_SCRIPT.sub(" ", s)
-    s = _PY_STYLE.sub(" ", s)
-    s = _PY_TAG.sub(" ", s)
-    for ent, rep in _ENTITIES:
-        s = s.replace(ent, rep)
+    s = _PY_STRIP.sub(" ", s)
+    if "&" in s:
+        for ent, rep in _ENTITIES:
+            s = s.replace(ent, rep)
     return _PY_WS.sub(" ", s).strip(" ")
 
 
@@ -70,14 +73,23 @@ def extract_text_col(html: Column) -> Column:
     Whole-stage-codegen friendly: decode + chained regexp_replace, no
     Python in the loop. Must stay byte-identical to ``extract_text_py``
     (tests/test_parse_golden.py asserts it on every fixture).
+
+    Bandwidth note: each regexp_replace is a full-document rewrite pass —
+    the dominant memory traffic of the whole parse stage. The script/style
+    and entity passes are therefore guarded with ``contains`` checks (a
+    cheap scan vs. a regex pass + allocation): skipping a pass whose
+    pattern cannot match is the identity, so byte parity with the
+    unconditional Python implementation is preserved row by row.
     """
     s = F.decode(html, "UTF-8")
-    s = F.regexp_replace(s, _RE_SCRIPT, " ")
-    s = F.regexp_replace(s, _RE_STYLE, " ")
-    s = F.regexp_replace(s, _RE_TAG, " ")
+    s = F.regexp_replace(s, _RE_STRIP, " ")
+    # entity decode only when an ampersand survives — skipping a pass whose
+    # pattern cannot match is the identity, so byte parity holds
+    ent_chain = s
     for ent, rep in _ENTITIES:
         # literal replace via regexp_replace with quoted pattern
-        s = F.regexp_replace(s, re.escape(ent), rep.replace("$", r"\$"))
+        ent_chain = F.regexp_replace(ent_chain, re.escape(ent), rep.replace("$", r"\$"))
+    s = F.when(F.contains(s, F.lit("&")), ent_chain).otherwise(s)
     s = F.regexp_replace(s, _RE_WS, " ")
     # trim only ASCII spaces (F.trim strips unicode space too — avoid)
     s = F.regexp_replace(s, r"^ +| +$", "")

@@ -874,6 +874,31 @@ ORDER BY doc_id LIMIT 120
 """
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: documents' text bytes as opaque media
+    payloads through the mapInPandas feature extractor (binary consumed
+    inside the Arrow batch, never emitted). sha256 + byte length are
+    oracle-verified; the histogram features are covered by pytest."""
+    from .operators.multimodal import extract_features
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(_arr(["image", "audio", "video"]), (F.col("doc_id").cast("int") % 3) + 1).alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return extract_features(media).select("media_id", "kind", "byte_len", "sha256")
+
+
+SQL_MULTIMODAL_FEATURES = """
+SELECT doc_id AS media_id,
+       (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+       CAST(octet_length(CAST(text AS BLOB)) AS INT) AS byte_len,
+       sha256(text) AS sha256
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -936,6 +961,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_join": q_knn_join,
     "near_dup_embeddings": q_near_dup_embeddings,
     "doc_search_topk": q_doc_search_topk,
+    "multimodal_features": q_multimodal_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -969,4 +995,5 @@ ORACLES: dict[str, str] = {
     "knn_join": SQL_KNN_JOIN,
     "near_dup_embeddings": SQL_NEAR_DUP_EMBEDDINGS,
     "doc_search_topk": SQL_DOC_SEARCH_TOPK,
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
 }

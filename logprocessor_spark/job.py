@@ -48,6 +48,20 @@ def _chunks(xs: list, k: int):
         yield xs[i : i + k]
 
 
+def _discover_partitions(pages_path: str) -> list[str] | None:
+    """Hive-layout partition discovery from the directory names — the
+    catalog-metadata path (Iceberg: partitions table). Falls back to a
+    column scan for non-local/non-Hive layouts."""
+    import os
+
+    try:
+        names = os.listdir(pages_path)
+    except OSError:
+        return None
+    dts = sorted(n.split("=", 1)[1] for n in names if n.startswith("dt="))
+    return dts or None
+
+
 def run_pipeline(
     spark: SparkSession,
     pages_path: str,
@@ -74,7 +88,7 @@ def run_pipeline(
     )
     ledger = Ledger(f"{out_dir}/ledger")
     done = ledger.done_partitions()
-    all_dts = partitions or sorted(
+    all_dts = partitions or _discover_partitions(pages_path) or sorted(
         r.dt for r in pages.select("dt").distinct().collect()
     )
     pending = [d for d in all_dts if d not in done]
@@ -100,9 +114,13 @@ def run_pipeline(
 
         write_fanout(routed, f"{out_dir}/routed")
 
-        # one aggregation pass feeds metrics + ledger counts for the batch
+        # count what was COMMITTED: a (dt, sink)-pruned read of the written
+        # output touches only partition columns (no data pages), instead of
+        # re-running parse+enrich+route a second time for the tally
         stats = (
-            routed.groupBy("dt", "sink")
+            spark.read.parquet(f"{out_dir}/routed")
+            .where(F.col("dt").isin(batch))
+            .groupBy("dt", "sink")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         )

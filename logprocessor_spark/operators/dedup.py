@@ -64,9 +64,30 @@ def char_ngrams(text: Column, n: int = 5) -> Column:
     return F.array_distinct(F.transform(idx, lambda i: F.substring(text, i, n)))
 
 
+def word_shingle_hashes(text: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles as array<long> — hashed directly from
+    the word tuple (``xxhash64(w1..wk)``), never materializing the shingle
+    string. At 10^9 docs the string-concat path allocates ~100 bytes per
+    shingle; this allocates none."""
+    words = F.split(F.trim(F.lower(text)), r"\s+")
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.xxhash64(
+                *[F.element_at(words, (i + j).cast("int")) for j in range(k)]
+            ),
+        )
+    )
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
     """MinHash signature: per seed i, min over shingles of xxhash64(s, i).
-    Pure expressions — the signature computes inside the scan stage."""
+    Pure expressions — the signature computes inside the scan stage.
+    ``shingles`` may be array<string> or (cheaper) array<long> from
+    ``word_shingle_hashes``: hashing a long per seed beats re-hashing the
+    shingle text num_hashes times."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.array_min(
@@ -79,6 +100,48 @@ def jaccard(a: Column, b: Column) -> Column:
     inter = F.size(F.array_intersect(a, b))
     union = F.size(F.array_union(a, b))
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def _banded_candidate_pairs(base: DataFrame, bands: int, r: int) -> DataFrame:
+    """(__id, __sh, __sig) -> verified candidate pairs (id_a, id_b, sh_a, sh_b).
+
+    Scale design: the banded explode carries ONLY (__id, band, bhash) — 24
+    bytes/row — through the candidate self-join shuffle; the heavy shingle
+    arrays are joined back afterwards, and only for the (much smaller)
+    deduplicated candidate set."""
+    banded = base.select(
+        "__id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("__sig"), b * r + 1, r).cast("string")
+                    ).alias("bhash"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("__id", "bk.band", "bk.bhash")
+
+    cand_ids = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bhash") == F.col("b.bhash"),
+                F.col("a.__id") < F.col("b.__id"),
+            ],
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh = base.select("__id", "__sh")
+    return (
+        cand_ids.join(sh.withColumnsRenamed({"__id": "id_a", "__sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"__id": "id_b", "__sh": "sh_b"}), "id_b")
+    )
 
 
 def minhash_lsh_dedup(
@@ -95,48 +158,15 @@ def minhash_lsh_dedup(
     rows-per-band r = num_hashes/bands; LSH catch probability at the
     threshold ~ 1-(1-t^r)^b. Candidates come from an equi-join on
     (band_idx, xxhash64 of the band slice); verification is exact Jaccard
-    on the shingle sets. At scale the band join is the only shuffle and
-    its keys are 16 bytes."""
+    on the hashed shingle sets (collision odds ~2^-64 per shingle pair —
+    set semantics are unchanged). Shingles are hashed longs end-to-end:
+    no shingle strings are built, and the band join shuffles 24-byte rows."""
     r = num_hashes // bands
     base = df.select(
         F.col(id_col).alias("__id"),
-        word_shingles(F.col(text_col), shingle_k).alias("__sh"),
+        word_shingle_hashes(F.col(text_col), shingle_k).alias("__sh"),
     ).withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
-
-    banded = base.select(
-        "__id",
-        "__sh",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.slice(F.col("__sig"), b * r + 1, r).cast("string")
-                    ).alias("bhash"),
-                ),
-            )
-        ).alias("bk"),
-    ).select("__id", "__sh", "bk.band", "bk.bhash")
-
-    cand = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            on=[
-                F.col("a.band") == F.col("b.band"),
-                F.col("a.bhash") == F.col("b.bhash"),
-                F.col("a.__id") < F.col("b.__id"),
-            ],
-        )
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            F.col("a.__sh").alias("sh_a"),
-            F.col("b.__sh").alias("sh_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = _banded_candidate_pairs(base, bands, r)
     return (
         cand.withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
         .where(F.col("jaccard_sim") >= threshold)
@@ -234,40 +264,14 @@ def ngram_jaccard_pairs(
     """Char-n-gram Jaccard near-dups; candidates via minhash bands over the
     n-gram sets (never all-pairs), verified exactly."""
     base = df.select(
-        F.col(id_col).alias("__id"), char_ngrams(F.col(text_col), n).alias("__sh")
+        F.col(id_col).alias("__id"),
+        # hash the n-gram strings once into longs; Jaccard over hashed sets
+        # is exact up to 2^-64 collisions and far cheaper to intersect
+        F.transform(
+            char_ngrams(F.col(text_col), n), lambda s: F.xxhash64(s)
+        ).alias("__sh"),
     ).withColumn("__sig", minhash_signature(F.col("__sh"), prefilter_bands * 4))
-    r = 4
-    banded = base.select(
-        "__id",
-        "__sh",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(prefilter_bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.slice(F.col("__sig"), b * r + 1, r).cast("string")).alias("bhash"),
-                ),
-            )
-        ).alias("bk"),
-    ).select("__id", "__sh", "bk.band", "bk.bhash")
-    cand = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            on=[
-                F.col("a.band") == F.col("b.band"),
-                F.col("a.bhash") == F.col("b.bhash"),
-                F.col("a.__id") < F.col("b.__id"),
-            ],
-        )
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            F.col("a.__sh").alias("sh_a"),
-            F.col("b.__sh").alias("sh_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = _banded_candidate_pairs(base, prefilter_bands, 4)
     return (
         cand.withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
         .where(F.col("jaccard_sim") >= threshold)

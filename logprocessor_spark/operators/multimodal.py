@@ -40,7 +40,7 @@ FEATURES_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType(), False),
         T.StructField("kind", T.StringType(), False),
         T.StructField("byte_len", T.IntegerType(), True),
-        T.StructField("sha1", T.StringType(), True),
+        T.StructField("sha256", T.StringType(), True),
         T.StructField("features", T.ArrayType(T.FloatType()), True),
     ]
 )
@@ -111,8 +111,8 @@ def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "byte_len": [len(p) if p is not None else 0 for p in pdf["payload"]],
-                    "sha1": [
-                        hashlib.sha1(p).hexdigest() if p is not None else None
+                    "sha256": [
+                        hashlib.sha256(p).hexdigest() if p is not None else None
                         for p in pdf["payload"]
                     ],
                     "features": feats,

@@ -48,8 +48,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        # pages.html is a wide binary column; keep scan partitions bounded.
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Split size is COMPRESSED bytes; html-heavy pages decompress ~5-6x,
+        # so the 128MB default yields few, fat scan tasks (e.g. a 800MB
+        # table -> 7 tasks -> wave imbalance kills scaling at low core
+        # counts and bloats per-task memory). 32MB compressed ≈ 200MB
+        # in-memory keeps ≥2-3 task waves per core at any parallelism.
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # keep Hive partition values (dt, month, sink) as strings — ledger

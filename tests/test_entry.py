@@ -1,0 +1,78 @@
+"""Driver-contract parity: every ``__spark_entry__.queries()`` entry with an
+oracle must hash-match DuckDB on the same tables (the external driver's
+correctness gate, replayed at sf0.001 for speed; tools/check_oracles.py runs
+the full set at sf0.01)."""
+
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from tools.check_oracles import TABLES, canon_hash  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# representative subset across operator families (full set: check_oracles.py)
+SUBSET = [
+    "log_parse_fields",
+    "log_extract_text",
+    "log_route_counts",
+    "log_routed_rows",
+    "log_enrich_geo",
+    "tpch_q1",
+    "window_top3_orders",
+    "salted_agg_parity",
+    "events_sessionize",
+    "dedup_exact_groups",
+    "text_stats",
+    "quality_scores",
+    "cosine_topk",
+    "knn_join",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(spark, duck, name):
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    df = qs[name](spark, SF_DIR)
+    rows = [tuple(r) for r in df.collect()]
+    res = duck.execute(oracles[name])
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert sorted(df.columns) == sorted(ocols)
+    assert len(rows) == len(orows)
+    assert canon_hash(df.columns, rows) == canon_hash(ocols, orows)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert "sink" in df.columns and "doc_count" in df.columns
+
+
+def test_every_oracle_has_query():
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # every query either has an oracle or is a documented hash-based LSH op
+    rows_only = set(qs) - set(oracles)
+    assert rows_only <= {
+        "dedup_minhash_pairs",
+        "dedup_simhash_pairs",
+        "dedup_ngram_pairs",
+        "ann_lsh_topk",
+    }

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 from logprocessor_spark.checkpoint import Ledger, read_metrics
 from logprocessor_spark.job import pipeline_aggregates, run_pipeline
 from logprocessor_spark.query import point_lookup, search
-from logprocessor_spark.sinks import read_sink
+from logprocessor_spark.sinks import read_sink, to_ndjson
 from logprocessor_spark.synth import gen_pages, write_pages_partitioned
 
 N = 2000
@@ -144,3 +144,18 @@ def test_read_path(spark, pipe):
     res = search(routed, "booking", limit=50)
     assert 0 < res.count() <= 50
     assert "text" not in res.columns  # raw excluded (db.cljs:21 analog)
+
+
+def test_ndjson_serialization(spark, pipe):
+    """S7/F10: bulk-payload NDJSON — internal routing column dropped, one
+    valid JSON object per row, ids round-trip."""
+    import json
+
+    base, _ = pipe
+    routed = read_sink(spark, f"{base}/out/routed", sink="sink_en")
+    lines = to_ndjson(routed).limit(50).collect()
+    assert lines
+    for r in lines:
+        doc = json.loads(r.json)
+        assert "month" not in doc
+        assert doc["message_id"].startswith("msg-")

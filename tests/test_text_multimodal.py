@@ -96,11 +96,11 @@ def test_media_feature_pipeline(spark):
     rows = feats.collect()
     assert len(rows) == 100
     assert all(len(r.features) == 16 for r in rows)
-    assert all(r.sha1 and r.byte_len > 0 for r in rows)
+    assert all(r.sha256 and r.byte_len > 0 for r in rows)
     assert "payload" not in feats.columns  # binary dropped early
     # deterministic across runs
-    again = {r.media_id: r.sha1 for r in extract_features(media).collect()}
-    assert {r.media_id: r.sha1 for r in rows} == again
+    again = {r.media_id: r.sha256 for r in extract_features(media).collect()}
+    assert {r.media_id: r.sha256 for r in rows} == again
 
 
 def test_frame_sample_plan(spark):

@@ -1,0 +1,136 @@
+"""Physical-plan audit: assert the plans we'd want at 100 TB and write the
+evidence to BENCH/PLANS.md.
+
+Checks per query/pipeline stage:
+* predicate pushdown reaches the parquet scan (PushedFilters)
+* column pruning (ReadSchema excludes unused heavy columns)
+* broadcast joins for dims (BroadcastHashJoin, no SortMergeJoin for dims)
+* top-k compiles to TakeOrderedAndProject (no global Sort+Limit)
+* exchange (shuffle) counts match the design budget
+* WholeStageCodegen covers the hot path
+
+Usage: python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+CHECKS = []  # (name, passed, detail)
+
+
+def check(name: str, cond: bool, detail: str = "") -> None:
+    CHECKS.append((name, cond, detail))
+    print(f"{'OK  ' if cond else 'FAIL'} {name} {detail}")
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from pyspark.sql import functions as F
+
+    from logprocessor_spark import harness
+    from logprocessor_spark.session import get_spark
+
+    spark = get_spark("plan-audit", master="local[4]", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # S8 point lookup: pushdown + pruning
+    p = plan_of(harness.q_log_point_lookup(spark, sf_dir))
+    check("point_lookup: no shuffle", "Exchange" not in p, f"exchanges={p.count('Exchange')}")
+
+    lookup = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") == 42)
+        .select("doc_id", "lang")
+    )
+    p = plan_of(lookup)
+    check(
+        "parquet lookup: predicate pushed",
+        bool(re.search(r"PushedFilters: \[.*EqualTo\(doc_id,42\)", p)),
+    )
+    check(
+        "parquet lookup: columns pruned (no text)",
+        "text" not in re.search(r"ReadSchema: ([^\n]*)", p).group(1),
+    )
+
+    # O1+O2 top-k
+    p = plan_of(harness.q_topk_orders(spark, sf_dir))
+    check("topk_orders: TakeOrderedAndProject", "TakeOrderedAndProject" in p)
+
+    # J1 broadcast enrich
+    p = plan_of(harness.q_join_enrich_region(spark, sf_dir))
+    check(
+        "join_enrich_region: both dims broadcast",
+        p.count("BroadcastHashJoin") == 2 and "SortMergeJoin" not in p,
+    )
+
+    # semi/anti compile to the dedicated join types
+    p = plan_of(harness.q_semi_join_suppliers(spark, sf_dir))
+    check("semi_join: LeftSemi", "LeftSemi" in p)
+    p = plan_of(harness.q_anti_join_customers(spark, sf_dir))
+    check("anti_join: LeftAnti", "LeftAnti" in p)
+
+    # parse stage: single codegen span, no python
+    parsed = harness.q_log_parse_fields(spark, sf_dir)
+    p = plan_of(parsed)
+    # codegen'd operators render as "*(n) Op" in the plan string
+    check("parse: whole-stage codegen", "WholeStageCodegen" in p or "*(1)" in p)
+    check("parse: no Python eval in hot path", "BatchEvalPython" not in p and "ArrowEvalPython" not in p)
+
+    # fan-out write path: exactly one exchange (fused dedup)
+    from logprocessor_spark.functions.parse import parse_pages
+    from logprocessor_spark.operators.route import route
+    from logprocessor_spark.sinks import PARTITION_COLS
+    from logprocessor_spark.synth import default_rules, gen_pages
+    from pyspark.sql.window import Window
+
+    pages = gen_pages(spark, 1000).withColumn("dt", F.date_format("warc_ts", "yyyy-MM-dd"))
+    routed = route(parse_pages(pages, extra_cols=["dt"]), default_rules(spark)).drop("html")
+    w = Window.partitionBy(*PARTITION_COLS).orderBy(F.col("message_id").asc_nulls_first())
+    cleaned = (
+        routed.repartition(*[F.col(c) for c in PARTITION_COLS])
+        .withColumn("__prev", F.lag("message_id").over(w))
+        .where(F.col("message_id").isNull() | F.col("__prev").isNull() | (F.col("__prev") != F.col("message_id")))
+        .drop("__prev")
+    )
+    p = plan_of(cleaned)
+    check("fanout+dedup: single exchange", p.count("Exchange") == 1, f"exchanges={p.count('Exchange')}")
+
+    # salted agg: two-phase = exactly two exchanges, partial aggregation present
+    p = plan_of(harness.q_salted_agg_parity(spark, sf_dir))
+    check(
+        "salted_agg: 2 exchanges (salt + merge)",
+        p.count("Exchange") == 2,
+        f"exchanges={p.count('Exchange')}",
+    )
+
+    # LSH band join is an equi-join (hash), not a nested-loop
+    p = plan_of(harness.q_dedup_minhash_pairs(spark, sf_dir))
+    check(
+        "minhash LSH: equi-join candidates",
+        any(j in p for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+        and "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p,
+    )
+
+    n_fail = sum(1 for _, ok, _ in CHECKS if not ok)
+    with open("BENCH/PLANS.md", "w") as f:
+        f.write("# Physical-plan audit (tools/plan_audit.py)\n\n")
+        f.write("Evidence that the plans are the ones a 100 TB deployment needs —\n")
+        f.write("pushdown, pruning, broadcasts, fused shuffles, codegen.\n\n")
+        f.write("| check | result | detail |\n|---|---|---|\n")
+        for name, ok, detail in CHECKS:
+            f.write(f"| {name} | {'PASS' if ok else 'FAIL'} | {detail} |\n")
+    print(f"\n{n_fail} failures -> BENCH/PLANS.md")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
