@@ -626,7 +626,11 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_EVENTS_SESSIONIZE = """
-SELECT user_id, 1 + sum(CASE WHEN epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END) AS n_sessions
+SELECT user_id,
+       -- CAST: DuckDB's sum(int) is HUGEINT, which materializes as float64
+       -- through pandas/arrow and breaks the driver's value hash; BIGINT
+       -- matches Spark's sum(int)=long (CORRECTNESS_r01 root cause).
+       CAST(1 + sum(CASE WHEN epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
 FROM (SELECT user_id, ts, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us FROM events)
 GROUP BY user_id
 """

@@ -47,12 +47,17 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct word k-gram shingles as array<string> (native HOFs)."""
+    """Distinct word k-gram shingles as array<string> (native HOFs).
+
+    ANSI-safe for docs shorter than k words: ``try_element_at`` yields NULL
+    past the end (``element_at`` would throw under Spark 4's default ANSI
+    mode) and ``concat_ws`` skips NULLs, so a short doc contributes one
+    shingle made of all its words instead of aborting the job."""
     words = F.split(F.trim(F.lower(text)), r"\s+")
     n = F.size(words)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     sh = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j).cast("int")) for j in range(k)])
+        idx, lambda i: F.concat_ws(" ", *[F.try_element_at(words, (i + j).cast("int")) for j in range(k)])
     )
     return F.array_distinct(sh)
 
@@ -72,11 +77,14 @@ def word_shingle_hashes(text: Column, k: int = 3) -> Column:
     words = F.split(F.trim(F.lower(text)), r"\s+")
     n = F.size(words)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    # try_element_at: NULL past the end (ANSI-safe for docs with < k words);
+    # Spark's xxhash64 treats a NULL input as a no-op on the accumulator, so
+    # a short doc yields one well-defined hash over the words it has.
     return F.array_distinct(
         F.transform(
             idx,
             lambda i: F.xxhash64(
-                *[F.element_at(words, (i + j).cast("int")) for j in range(k)]
+                *[F.try_element_at(words, (i + j).cast("int")) for j in range(k)]
             ),
         )
     )
@@ -108,7 +116,20 @@ def _banded_candidate_pairs(base: DataFrame, bands: int, r: int) -> DataFrame:
     Scale design: the banded explode carries ONLY (__id, band, bhash) — 24
     bytes/row — through the candidate self-join shuffle; the heavy shingle
     arrays are joined back afterwards, and only for the (much smaller)
-    deduplicated candidate set."""
+    deduplicated candidate set.
+
+    Materialization is load-bearing, not an optimization nicety: ``base``
+    appears on BOTH sides of the self-join plus two shingle join-backs, and
+    Catalyst's project-collapsing would otherwise inline the full
+    shingle+signature expression into every one of those subtrees (8 band
+    slices x 2 sides x 2 join-backs ≈ 18 re-evaluations per row — measured
+    95% of round-1's bench wall). ``persist`` pins the tiny
+    (__id, __sh, __sig) relation so the signature computes exactly once;
+    Spark's ContextCleaner unpersists it when the result DataFrame is
+    garbage collected. At cluster scale the same role is played by
+    stage-writing the base (or just the 24 B/row banded table) to storage
+    between candidate generation and verification."""
+    base = base.persist()
     banded = base.select(
         "__id",
         F.explode(
@@ -209,9 +230,12 @@ def simhash_candidates(
     """Near-dup pairs by SimHash: band the 64-bit fingerprint into 4
     16-bit chunks (pigeonhole: hamming<=3 => >=1 chunk identical), bucket
     join on (chunk_idx, chunk_value), verify exact Hamming distance."""
+    # persist: __sh (a 64-step HOF aggregate) feeds both self-join sides —
+    # un-materialized it would be recomputed per side (see
+    # _banded_candidate_pairs docstring for the full recompute story)
     base = df.select(
         F.col(id_col).alias("__id"), simhash(F.col(text_col)).alias("__sh")
-    )
+    ).persist()
     chunks = base.select(
         "__id",
         "__sh",

@@ -132,11 +132,15 @@ def embedding_near_dup_pairs(
     bucket (equi-join, shuffle on an 8-byte key), verified exactly."""
     first = emb.select(vec_col).first()
     dim = len(first[vec_col]) if first else 0
+    # persist: the hyperplane projection (n_planes x dim-step HOF aggregate)
+    # feeds both sides of the bucket self-join — un-materialized, Catalyst
+    # project-collapsing would recompute it per side (same recompute shape
+    # as dedup._banded_candidate_pairs; persist = compute-once).
     b = emb.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
         hyperplane_bucket(F.col(vec_col), dim, n_planes, seed).alias("__bucket"),
-    )
+    ).persist()
     pairs = (
         b.alias("a")
         .join(

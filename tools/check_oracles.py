@@ -23,13 +23,23 @@ TABLES = [
 
 
 def canon_val(v) -> str:
+    """Canonicalize one cell AFTER pandas/arrow materialization (see main():
+    both engines go through pandas, like the driver) — numpy scalars are
+    unwrapped so e.g. DuckDB HUGEINT->float64 drift hashes differently from
+    Spark's int64, exactly as it does in the driver (CORRECTNESS_r01
+    events_sessionize root cause)."""
     import math
 
-    if v is None:
+    if hasattr(v, "item"):  # numpy scalar -> python scalar
+        v = v.item()
+    if v is None or v != v:
+        # None and NaN both hash as NULL: pandas materialization turns a
+        # NULL in a float/bool column into NaN on whichever side took that
+        # dtype path (observed: DuckDB null BOOLEAN -> NaN while Spark gives
+        # None, yet the r1 driver hashed log_parse_fields equal — so the
+        # driver treats them as one missing value, and we must too).
         return "NULL"
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
         return repr(v)  # shortest round-trip repr: bit-exact comparison
     if isinstance(v, bool):
         return "true" if v else "false"
@@ -70,15 +80,18 @@ def main() -> None:
             continue
         t0 = time.time()
         df = fn(spark, sf_dir)
-        cols = df.columns
-        rows = [tuple(r) for r in df.collect()]
+        # materialize BOTH engines through pandas/arrow, like the driver —
+        # fetchall() hides type drift that pandas surfaces (HUGEINT->float64)
+        pdf = df.toPandas()
+        cols = list(pdf.columns)
+        rows = [tuple(r) for r in pdf.itertuples(index=False, name=None)]
         spark_s = time.time() - t0
         if name not in oracles:
             print(f"{name:24s} rows-only: {len(rows)} rows  [{spark_s:.1f}s]")
             continue
-        res = con.execute(oracles[name])
-        ocols = [d[0] for d in res.description]
-        orows = res.fetchall()
+        odf = con.execute(oracles[name]).df()
+        ocols = list(odf.columns)
+        orows = [tuple(r) for r in odf.itertuples(index=False, name=None)]
         ok_cols = sorted(cols) == sorted(ocols)
         ok_count = len(rows) == len(orows)
         h1 = canon_hash(cols, rows)
