@@ -80,14 +80,22 @@ def append_metrics(
 ) -> None:
     """rows: (run_id, partition_key, sink, parsed, quarantined, routed).
 
-    Written directly with pyarrow on the driver: the rows are O(#partitions)
-    tiny, and a Spark ``coalesce(1)`` write job costs seconds of fixed
-    scheduling per batch — pure overhead at any scale. The file is
-    parquet-compatible with ``read_metrics``'s schema."""
+    Local paths are written directly with pyarrow on the driver: the rows
+    are O(#partitions) tiny, and a Spark ``coalesce(1)`` write job costs
+    seconds of fixed scheduling per batch — pure overhead at any scale.
+    Non-local paths (hdfs://, s3a://...) fall back to the Spark writer,
+    which resolves any Hadoop filesystem. Both produce files compatible
+    with ``read_metrics``'s schema."""
     import uuid
 
     import pyarrow as pa
     import pyarrow.parquet as pq
+
+    if "://" in path and not path.startswith("file:"):
+        spark.createDataFrame(
+            [(*r, wall_ms) for r in rows], schema=METRICS_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(path)
+        return
 
     full = [(*r, wall_ms) for r in rows]
     cols = list(zip(*full)) if full else [[]] * 7

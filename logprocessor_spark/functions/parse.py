@@ -180,12 +180,29 @@ def parse_batch_pandas(pdf):
     return pd.DataFrame(rows, columns=[f.name for f in PARSED_SCHEMA.fields])
 
 
-def parse_pages_pandas(pages: DataFrame) -> DataFrame:
-    """mapInPandas parity parse — same output schema/values as parse_pages."""
+def parse_pages_pandas(
+    pages: DataFrame, extra_cols: list[str] | None = None
+) -> DataFrame:
+    """mapInPandas parity parse — same output schema/values as parse_pages.
+
+    ``extra_cols`` (e.g. the partition key ``dt``) ride through the Arrow
+    batch positionally — no post-hoc join back to the source (a second scan
+    plus a full-data shuffle) is ever needed."""
+    from pyspark.sql.types import StructType
+
+    extras = list(extra_cols or [])
+    out_schema = StructType(
+        list(PARSED_SCHEMA.fields) + [pages.schema[c] for c in extras]
+    )
 
     def gen(batches: Iterator) -> Iterator:
         for pdf in batches:
             if len(pdf):
-                yield parse_batch_pandas(pdf)
+                parsed = parse_batch_pandas(pdf)
+                for c in extras:  # rows are emitted in input order
+                    parsed[c] = pdf[c].to_numpy()
+                yield parsed
 
-    return pages.select("url", "lang", "html").mapInPandas(gen, schema=PARSED_SCHEMA)
+    return pages.select("url", "lang", "html", *extras).mapInPandas(
+        gen, schema=out_schema
+    )

@@ -33,6 +33,17 @@ from .synth import default_rules, gen_agent_dim, gen_geo_dim
 
 @dataclass
 class PipelineResult:
+    """Outcome of one ``run_pipeline`` call.
+
+    Count semantics: ``rows_in``/``rows_out``/``sink_counts`` are
+    **committed** counts — tallied from a partition-pruned read-back of the
+    written sink, *after* in-exchange dedup — not pre-write input counts.
+    After a crash-resume, a (sink, month) combo left by an earlier partial
+    run for the same ``dt`` that the re-run no longer produces survives
+    dynamic partition overwrite and is counted too (an Iceberg
+    ``overwritePartitions`` snapshot would drop it); with deterministic
+    routing this only occurs when routing rules changed between runs."""
+
     run_id: str
     processed_partitions: list[str]
     skipped_partitions: list[str]
@@ -88,9 +99,23 @@ def run_pipeline(
     )
     ledger = Ledger(f"{out_dir}/ledger")
     done = ledger.done_partitions()
-    all_dts = partitions or _discover_partitions(pages_path) or sorted(
+    available = _discover_partitions(pages_path) or sorted(
         r.dt for r in pages.select("dt").distinct().collect()
     )
+    if partitions is not None:
+        # P1 input-domain validation (core.clj:19-20,31-43 analog): reject
+        # unknown partition args up front — a typo'd dt must fail loudly,
+        # not silently scan nothing.
+        bad = sorted(set(partitions) - set(available))
+        if bad:
+            raise ValueError(
+                f"unknown partitions {bad}; available: {available[:5]}..."
+                if len(available) > 5
+                else f"unknown partitions {bad}; available: {available}"
+            )
+    if group_size is not None and group_size < 1:
+        raise ValueError(f"group_size must be >= 1, got {group_size}")
+    all_dts = partitions or available
     pending = [d for d in all_dts if d not in done]
     skipped = [d for d in all_dts if d in done]
 
@@ -102,11 +127,7 @@ def run_pipeline(
     for batch in _chunks(pending, group_size or len(pending)):
         src = pages.where(F.col("dt").isin(batch))
         if use_pandas_parse:
-            # parity path keeps dt by re-deriving it from warc_ts partition col
-            parsed = parse_pages_pandas(src.withColumn("url", F.col("url")))
-            parsed = parsed.join(
-                src.select("url", "dt"), on="url", how="inner"
-            )
+            parsed = parse_pages_pandas(src, extra_cols=["dt"])
         else:
             parsed = parse_pages(src, extra_cols=["dt"])
         enriched = enrich(parsed, geo_dim, agent_dim)

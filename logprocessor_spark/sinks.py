@@ -32,29 +32,47 @@ from pyspark.sql.window import Window
 PARTITION_COLS = ["sink", "month", "dt"]
 
 
-def write_fanout(routed: DataFrame, path: str, dedup_key: str = "message_id") -> None:
+def write_fanout(
+    routed: DataFrame,
+    path: str,
+    dedup_key: str = "message_id",
+    dedup_buckets: int = 8,
+) -> None:
     """Single-pass, single-shuffle fan-out write of routed rows (must carry
     sink/month/dt).
 
-    Dedup is fused into the fan-out exchange: routing is deterministic in
-    ``dedup_key``, so duplicate ids always land in the same (sink, month,
-    dt) partition — a window over exactly the repartition keys reuses the
-    exchange (Catalyst adds only a sort, no second shuffle; compare the old
-    shape ``dropDuplicates`` + ``repartition`` = two full-data shuffles).
-    Null-key rows (parse failures -> quarantine) are all kept.
-    Cross-day replays are collapsed by dynamic partition overwrite, not by
-    this dedup — the scope here is within one written partition (the
-    ``_id``-upsert analog, es.clj:102-103)."""
-    w = Window.partitionBy(*PARTITION_COLS).orderBy(F.col(dedup_key).asc_nulls_first())
+    Dedup scope is **(sink, month)** — the reference's monthly-index
+    ``_id``-upsert scope (es.clj:102-104): a duplicate id arriving under a
+    different ingest day of the same month is collapsed, latest ``dt`` wins
+    (upsert = last write wins). Scope is within the batch; collapsing a
+    duplicate against a *previously committed* day would be a read-merge
+    (Iceberg ``MERGE INTO``) — documented environment debt.
+
+    Shuffle shape: one exchange on (sink, month, bucket) where ``bucket``
+    salts ``dedup_key`` into ``dedup_buckets`` slices. Same key -> same
+    bucket, so a window over exactly those keys dedups with no second
+    shuffle, while parallelism stays #(sink,month) x buckets (a plain
+    (sink, month) window would sort a whole month in one task) and file
+    count stays bounded at #(sink,month,dt) x buckets — not #combos x
+    #tasks (no small-file explosion at 1000 executors).
+    Null-key rows (parse failures -> quarantine) are all kept, salted by
+    url so a month's quarantine doesn't pile into one task."""
+    bucket = F.pmod(
+        F.xxhash64(F.coalesce(F.col(dedup_key), F.col("url"))), F.lit(dedup_buckets)
+    )
+    w = Window.partitionBy("sink", "month", "__b").orderBy(
+        F.col(dedup_key).asc_nulls_first(), F.col("dt").desc()
+    )
     cleaned = (
-        routed.repartition(*[F.col(c) for c in PARTITION_COLS])
+        routed.withColumn("__b", bucket)
+        .repartition(F.col("sink"), F.col("month"), F.col("__b"))
         .withColumn("__prev", F.lag(dedup_key).over(w))
         .where(
             F.col(dedup_key).isNull()
             | F.col("__prev").isNull()
             | (F.col("__prev") != F.col(dedup_key))
         )
-        .drop("__prev")
+        .drop("__prev", "__b")
     )
     (
         cleaned.write.mode("overwrite")

@@ -88,3 +88,22 @@ def test_ngram_jaccard(with_dupes):
     pairs = ngram_jaccard_pairs(with_dupes, threshold=0.8)
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert {(i, i + 10_000) for i in range(30)} <= got
+
+
+def test_short_docs_do_not_crash_ansi(spark):
+    """ANSI guard: docs with fewer words than the shingle size k (empty,
+    one-word, two-word) must shingle to a clamped set, not throw
+    SparkArrayIndexOutOfBoundsException (Spark 4 default ANSI mode)."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "two words"), (4, "three word doc"),
+         (5, "three word doc")],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_dedup(df, threshold=0.8).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} >= {(4, 5)}
+    from logprocessor_spark.operators.dedup import word_shingles
+
+    sh = df.select(word_shingles(F.col("text")).alias("s")).collect()
+    assert all(len(r.s) >= 1 for r in sh)
+    assert ngram_jaccard_pairs(df, threshold=0.9).count() >= 1
+    assert simhash_candidates(df).count() >= 1

@@ -159,3 +159,63 @@ def test_ndjson_serialization(spark, pipe):
         doc = json.loads(r.json)
         assert "month" not in doc
         assert doc["message_id"].startswith("msg-")
+
+
+def test_fanout_dedup_scope_is_sink_month(spark, tmp_out):
+    """ES monthly-index _id-upsert scope (es.clj:102-104): a duplicate
+    message_id arriving under a different ingest dt of the SAME month is
+    collapsed (latest dt wins); other months are untouched; null-key
+    quarantine rows are all kept."""
+    from logprocessor_spark.sinks import write_fanout
+
+    rows = [
+        ("u1", "m1", "x", "sink_en", "2015.11", "2015-11-01"),
+        ("u2", "m1", "y", "sink_en", "2015.11", "2015-11-02"),  # dup, later dt
+        ("u3", "m1", "z", "sink_en", "2015.12", "2015-12-01"),  # other month
+        ("u4", None, "q", "quarantine", "unknown", "2015-11-01"),
+        ("u5", None, "q", "quarantine", "unknown", "2015-11-01"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, message_id string, payload string, sink string, month string, dt string"
+    )
+    write_fanout(df, tmp_out)
+    got = {
+        (r.message_id, r.month, r.dt, r.url)
+        for r in spark.read.parquet(tmp_out).collect()
+    }
+    assert ("m1", "2015.11", "2015-11-02", "u2") in got  # latest dt won
+    assert not any(u == "u1" for (_, _, _, u) in got)  # earlier copy collapsed
+    assert ("m1", "2015.12", "2015-12-01", "u3") in got  # other month kept
+    assert {u for (m, _, _, u) in got if m is None} == {"u4", "u5"}  # nulls kept
+    assert len(got) == 4
+
+
+def test_unknown_partition_arg_rejected(spark, tmp_path):
+    """P1 input-domain validation (core.clj:19-20 analog): a typo'd
+    partition fails loudly instead of silently scanning nothing."""
+    base = str(tmp_path)
+    write_pages_partitioned(gen_pages(spark, 100, seed=7), f"{base}/pages")
+    with pytest.raises(ValueError, match="unknown partitions"):
+        run_pipeline(
+            spark, f"{base}/pages", f"{base}/out", partitions=["2099-01-01"]
+        )
+    with pytest.raises(ValueError, match="group_size"):
+        run_pipeline(spark, f"{base}/pages", f"{base}/out", group_size=0)
+
+
+def test_pandas_parse_path_matches_native(spark, tmp_path):
+    """The mapInPandas parity path carries dt through the Arrow batch (no
+    join-back) and lands the identical routed rows."""
+    base = str(tmp_path)
+    write_pages_partitioned(gen_pages(spark, 300, seed=11), f"{base}/pages")
+    run_pipeline(spark, f"{base}/pages", f"{base}/nat", run_id="nat")
+    run_pipeline(
+        spark, f"{base}/pages", f"{base}/pd", run_id="pd", use_pandas_parse=True
+    )
+    nat = set(
+        read_sink(spark, f"{base}/nat/routed").select("sink", "url", "dt").collect()
+    )
+    pd_ = set(
+        read_sink(spark, f"{base}/pd/routed").select("sink", "url", "dt").collect()
+    )
+    assert nat == pd_ and nat
