@@ -50,6 +50,7 @@ HEADLINE = [
     "dedup_minhash_pairs",  # MinHash+LSH near-dup
     "cosine_topk",          # brute-force ANN baseline
     "ann_lsh_topk",         # LSH ANN
+    "near_dup_embeddings_lsh",  # banded-LSH embedding near-dup (scale path)
     "doc_search_topk",      # full-text top-k
 ]
 

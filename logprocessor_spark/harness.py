@@ -673,11 +673,60 @@ GROUP BY md5(text) HAVING count(*) > 1
 
 
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs — xxhash64-based, no SQL oracle
-    (driver records rows-only)."""
+    """MinHash+LSH near-dup pairs. The oracle is an engine-independent
+    re-derivation: exact Jaccard over ALL pairs (with a lossless
+    length-ratio prefilter — J(A,B) <= min|.|/max|.|, so pairs failing the
+    ratio can never reach the threshold). Hashed-shingle Jaccard equals
+    string-shingle Jaccard up to 2^-64 collisions, and LSH recall is
+    exact on this data, so the pair sets coincide."""
     return minhash_lsh_dedup(
         _docs_with_dupes(spark, sf_dir), threshold=0.8
     ).orderBy("id_a", "id_b")
+
+
+def _sql_jaccard_pairs(shingle_cte: str, threshold: float) -> str:
+    """All-pairs exact-Jaccard oracle over a (doc_id, s) shingle-set CTE."""
+    return f"""
+WITH dd AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 100000, text FROM documents
+), {shingle_cte}
+, pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS la, len(b.s) AS lb
+  FROM sh a JOIN sh b
+    ON a.doc_id < b.doc_id
+   AND least(len(a.s), len(b.s))::DOUBLE / greatest(len(a.s), len(b.s)) >= {threshold}
+)
+SELECT id_a, id_b, round(inter::DOUBLE / (la + lb - inter), 4) AS jaccard_sim
+FROM pairs WHERE inter::DOUBLE / (la + lb - inter) >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+SQL_DEDUP_MINHASH_PAIRS = _sql_jaccard_pairs(
+    r"""w AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS wd FROM dd
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(wd) >= 3
+         THEN list_distinct(list_transform(range(1, len(wd)-1),
+                i -> wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2]))
+         ELSE [array_to_string(wd, ' ')] END AS s
+  FROM w
+)""",
+    0.8,
+)
+
+SQL_DEDUP_NGRAM_PAIRS = _sql_jaccard_pairs(
+    """sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1),
+      i -> substring(text, i::INT, 5))) AS s
+  FROM dd
+)""",
+    0.9,
+)
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -859,6 +908,57 @@ SELECT id_a, id_b, cosine_sim FROM s WHERE cosine_sim >= 0.35
 """
 
 
+def q_near_dup_embeddings_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded hyperplane-LSH embedding near-dups — the 100 TB path (the
+    exact all-pairs ``near_dup_embeddings`` is its sf-small verification
+    twin). Corpus doubled by construction so exact-duplicate pairs exist;
+    the oracle recomputes the SAME pair set with exact all-pairs cosine:
+    banded LSH at (6 bands x 8 planes) has recall ~1 at tau=0.95 on this
+    data, verified value-for-value by the hash compare."""
+    from .operators.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    doubled = emb.unionAll(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    return embedding_near_dup_pairs(doubled, tau=0.95).orderBy("id_a", "id_b")
+
+
+SQL_NEAR_DUP_EMBEDDINGS_LSH = """
+WITH dd AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings
+), z AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine_sim
+  FROM dd a JOIN dd b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine_sim FROM z WHERE cosine_sim >= 0.95
+ORDER BY id_a, id_b
+"""
+
+
+def q_ann_lsh_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prebucketed ANN: materialize the corpus partitioned by LSH bucket
+    (once per sf_dir, cached in /tmp), then answer with a partition-pruned
+    scan. Result set identical to ``ann_lsh_topk`` (same planes/seed) —
+    asserted in tests/test_similarity.py; rows-only for the driver."""
+    import hashlib
+    import os
+
+    from .operators.similarity import lsh_ann_topk_prebucketed, materialize_lsh_buckets
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/lp_lsh_buckets_{tag}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        materialize_lsh_buckets(emb, path)
+    qv = emb.where(F.col("vec_id") == 7).select("embedding").first()[0]
+    return lsh_ann_topk_prebucketed(spark, path, list(qv), k=10)
+
+
 def q_doc_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O3 full-text AND search (db.cljs:15-21 semantics) over documents."""
     d = _t(spark, sf_dir, "documents")
@@ -964,6 +1064,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "knn_join": q_knn_join,
     "near_dup_embeddings": q_near_dup_embeddings,
+    "near_dup_embeddings_lsh": q_near_dup_embeddings_lsh,
+    "ann_lsh_topk_pruned": q_ann_lsh_topk_pruned,
     "doc_search_topk": q_doc_search_topk,
     "multimodal_features": q_multimodal_features,
 }
@@ -990,14 +1092,20 @@ ORACLES: dict[str, str] = {
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "dedup_exact_keep": SQL_DEDUP_EXACT_KEEP,
     "dedup_exact_groups": SQL_DEDUP_EXACT_GROUPS,
-    # dedup_minhash_pairs / dedup_simhash_pairs / dedup_ngram_pairs /
-    # ann_lsh_topk: xxhash64-based — not SQL-expressible, rows-only check.
+    "dedup_minhash_pairs": SQL_DEDUP_MINHASH_PAIRS,
+    "dedup_ngram_pairs": SQL_DEDUP_NGRAM_PAIRS,
+    # dedup_simhash_pairs / ann_lsh_topk: xxhash64-based fingerprints are
+    # not SQL-expressible — rows-only check here; engine-independent
+    # verification lives in tests/test_dedup.py / tests/test_similarity.py.
     "text_stats": SQL_TEXT_STATS,
     "lang_id_counts": SQL_LANG_ID_COUNTS,
     "quality_scores": SQL_QUALITY_SCORES,
     "cosine_topk": SQL_COSINE_TOPK,
     "knn_join": SQL_KNN_JOIN,
     "near_dup_embeddings": SQL_NEAR_DUP_EMBEDDINGS,
+    "near_dup_embeddings_lsh": SQL_NEAR_DUP_EMBEDDINGS_LSH,
+    # ann_lsh_topk_pruned: bucket membership is xxhash64-derived — rows-only
+    # for the driver; equality with ann_lsh_topk asserted in pytest.
     "doc_search_topk": SQL_DOC_SEARCH_TOPK,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
 }

@@ -120,43 +120,150 @@ def lsh_ann_topk(
     return cosine_topk(bucketed.where(probe), query_vec, k, id_col, vec_col)
 
 
+def _band_keys(vec: Column, dim: int, bands: int, r: int, seed: int) -> Column:
+    """array<struct<band:int, key:long>>: per band, the sign bits of r
+    hyperplane projections packed into a long. Two vectors are candidates
+    iff they agree on ALL r bits of at least one band — the sign-bit analog
+    of MinHash banding. P(candidate) for similarity s (bit-agreement
+    probability p = 1 - acos(s)/pi): 1 - (1 - p^r)^bands; at bands=6, r=8
+    that is ~1.0 for s >= 0.99 and ~2% for random pairs."""
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+
+    def _proj_fn(p: int):
+        return lambda acc, j: acc + F.element_at(
+            vec, (j + 1).cast("int")
+        ).cast("double") * _plane_component(p, j, dim, seed)
+
+    keys = []
+    for b in range(bands):
+        key = F.lit(0).cast("long")
+        for j in range(r):
+            proj = F.aggregate(idx, F.lit(0.0), _proj_fn(b * r + j))
+            key = key + F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(0)
+        keys.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
+    return F.array(*keys)
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     tau: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
+    bands: int = 6,
+    rows_per_band: int = 8,
     seed: int = 42,
 ) -> DataFrame:
-    """Near-duplicate pairs with cosine >= tau. Candidates = same LSH
-    bucket (equi-join, shuffle on an 8-byte key), verified exactly."""
+    """Near-duplicate pairs with cosine >= tau, banded-LSH candidates.
+
+    The 100 TB path (vs the exact all-pairs twin kept as its sf-small
+    verifier in harness.q_near_dup_embeddings): the banded explode carries
+    only (__id, band, key) — 20 B/row — through the candidate equi-join
+    shuffle; vectors are joined back for the (much smaller) deduplicated
+    candidate set only, then verified with the exact double-precision
+    cosine. Never an O(n^2) cross join.
+
+    persist is load-bearing: the 48-projection band keys and the vectors
+    feed both self-join sides plus two join-backs — un-materialized,
+    Catalyst project-collapsing would recompute the projections per subtree
+    (same recompute shape as dedup._banded_candidate_pairs)."""
     first = emb.select(vec_col).first()
     dim = len(first[vec_col]) if first else 0
-    # persist: the hyperplane projection (n_planes x dim-step HOF aggregate)
-    # feeds both sides of the bucket self-join — un-materialized, Catalyst
-    # project-collapsing would recompute it per side (same recompute shape
-    # as dedup._banded_candidate_pairs; persist = compute-once).
-    b = emb.select(
+    base = emb.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
-        hyperplane_bucket(F.col(vec_col), dim, n_planes, seed).alias("__bucket"),
+        _band_keys(F.col(vec_col), dim, bands, rows_per_band, seed).alias("__bk"),
     ).persist()
-    pairs = (
-        b.alias("a")
+    banded = base.select("__id", F.explode("__bk").alias("bk")).select(
+        "__id", "bk.band", "bk.key"
+    )
+    cand = (
+        banded.alias("a")
         .join(
-            b.alias("b"),
+            banded.alias("b"),
             on=[
-                F.col("a.__bucket") == F.col("b.__bucket"),
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.key") == F.col("b.key"),
                 F.col("a.__id") < F.col("b.__id"),
             ],
         )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    v = base.select("__id", "__v")
+    pairs = (
+        cand.join(v.withColumnsRenamed({"__id": "id_a", "__v": "va"}), "id_a")
+        .join(v.withColumnsRenamed({"__id": "id_b", "__v": "vb"}), "id_b")
         .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            F.round(cosine(F.col("a.__v"), F.col("b.__v")), 6).alias("cosine_sim"),
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
         )
     )
     return pairs.where(F.col("cosine_sim") >= tau)
+
+
+def materialize_lsh_buckets(
+    emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> None:
+    """Precompute the hyperplane bucket and write the corpus partitioned by
+    it — the index-build step that turns every subsequent ANN query into a
+    partition-pruned scan of ~(1+P)/2^P of the data instead of a full pass
+    computing buckets on the fly (lsh_ann_topk's docstring caveat, closed).
+    One-time cost, amortized over every query; at 10^12 rows the bucketed
+    table is the same bytes as the corpus, reshuffled once."""
+    first = emb.select(vec_col).first()
+    dim = len(first[vec_col]) if first else 0
+    (
+        emb.withColumn(
+            "bucket", hyperplane_bucket(F.col(vec_col), dim, n_planes, seed)
+        )
+        .repartition(F.col("bucket"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def lsh_ann_topk_prebucketed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """ANN top-k against a ``materialize_lsh_buckets`` table: the probe set
+    (query bucket + all buckets within ``multiprobe_hamming`` bits) is
+    enumerated driver-side into an IN-list predicate on the partition
+    column, so the scan prunes to those directories — identical results to
+    ``lsh_ann_topk`` (same planes, same seed), none of the per-query
+    bucket recomputation over the full corpus."""
+    dim = len(query_vec)
+    qdf = spark.range(1).select(
+        F.array(*[F.lit(float(x)) for x in query_vec]).alias("v")
+    )
+    qb = qdf.select(
+        hyperplane_bucket(F.col("v"), dim, n_planes, seed).alias("b")
+    ).collect()[0].b
+    import itertools
+
+    probes = []
+    for h in range(multiprobe_hamming + 1):
+        for combo in itertools.combinations(range(n_planes), h):
+            b = qb
+            for p in combo:
+                b ^= 1 << p
+            probes.append(b)
+    bucketed = spark.read.parquet(path).where(F.col("bucket").isin(probes))
+    return cosine_topk(bucketed, query_vec, k, id_col, vec_col)
 
 
 def cosine_knn_join(

@@ -99,3 +99,54 @@ def test_knn_join(emb):
     for q, rs in by_q.items():
         best = min(rs, key=lambda r: r.rank)
         assert best.vec_id == q and best.cosine_sim == 1.0
+
+
+def test_lsh_near_dup_pairs_equal_exact_twin(spark, emb):
+    """The banded-LSH near-dup path (the 100 TB plan) must reproduce the
+    exact all-pairs result at sf-small — pair set AND cosine values."""
+    from logprocessor_spark.operators.similarity import cosine
+
+    small = emb.select("vec_id", "embedding")
+    doubled = small.unionAll(
+        small.select((F.col("vec_id") + 100_000).alias("vec_id"), "embedding")
+    )
+    lsh = {
+        (r.id_a, r.id_b, r.cosine_sim)
+        for r in embedding_near_dup_pairs(doubled, tau=0.95).collect()
+    }
+    a = doubled.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = doubled.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    exact = {
+        (r.id_a, r.id_b, r.cosine_sim)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= 0.95)
+        .collect()
+    }
+    assert lsh == exact and len(lsh) >= 500
+
+
+def test_prebucketed_ann_equals_in_memory(spark, emb, query_vec, tmp_path):
+    """materialize_lsh_buckets + partition-pruned probe must return exactly
+    what the on-the-fly lsh_ann_topk returns (same planes, same seed), and
+    the scan must actually prune partitions."""
+    from logprocessor_spark.operators.similarity import (
+        lsh_ann_topk_prebucketed,
+        materialize_lsh_buckets,
+    )
+
+    path = str(tmp_path / "buckets")
+    materialize_lsh_buckets(emb.select("vec_id", "embedding"), path)
+    pre = lsh_ann_topk_prebucketed(spark, path, query_vec, k=10)
+    mem = lsh_ann_topk(emb, query_vec, k=10)
+    assert [tuple(r) for r in pre.collect()] == [tuple(r) for r in mem.collect()]
+    # partition pruning: the physical plan's scan must carry bucket IN (...)
+    plan = pre._jdf.queryExecution().executedPlan().toString()
+    assert "bucket" in plan
+    import os
+
+    n_dirs = len([d for d in os.listdir(path) if d.startswith("bucket=")])
+    assert n_dirs > 9  # multiple buckets exist; probe reads <= 9 of them
