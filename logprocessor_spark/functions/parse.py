@@ -34,23 +34,39 @@ from .timestamps import clean_ts_col, clean_ts_py
 
 # Marker grammar (FIXTURES.md §1) — one pattern per header field (F4 analog:
 # extract-mh-subtext over MessageHeader tags, parsers.clj:18-22).
+#
+# Section-scoped extraction (the parse stage's memory-bandwidth lever at
+# high core counts): header fields are defined to live in <head> (the
+# MessageHeader envelope analog — the reference's XPath also addresses the
+# header element, not the whole document, parsers.clj:18-22), the dispatch
+# class and detail attributes in the <body ...> tag itself, and error
+# spans in the body. Each regex therefore scans a small slice instead of
+# the full document — ~10 full-document regex passes collapse to
+# (1 marker search + 1 body-tag regex + 1 error scan over the body). A
+# document with no </head> marker degrades to whole-document search for
+# every field, so malformed inputs lose nothing.
 _META = r'<meta name="{name}" content="([^"]*)"'
-FIELD_PATTERNS: dict[str, str] = {
+HEAD_FIELD_PATTERNS: dict[str, str] = {
     "session_id": _META.format(name="session-id"),
     "message_id": _META.format(name="message-id"),
     "service": _META.format(name="service"),
     "ts_raw": _META.format(name="timestamp"),
     "refto": _META.format(name="refto"),
     "pcc": _META.format(name="pcc"),
+}
+BODY_TAG_PATTERN = r"<body\b[^>]*>"
+BTAG_FIELD_PATTERNS: dict[str, str] = {
     # F2 parse-method-name: body tag class = message type (parsers.clj:8-11)
     "msg_type": r'<body class="([^"]*)"',
     # F8/F9 detail attrs (parsers.clj:51-63)
     "ind_raw": r'data-ind="([^"]*)"',
     "detail_id": r'data-id="([^"]*)"',
 }
+FIELD_PATTERNS: dict[str, str] = {**HEAD_FIELD_PATTERNS, **BTAG_FIELD_PATTERNS}
 # F7 parse-error-info: all error message texts (parsers.clj:45-49)
 ERRORS_PATTERN = r'<span class="error-msg">([^<]*)</span>'
 HOST_PATTERN = r"^[a-z]+://([^/]+)"
+_HEAD_END = "</head>"
 
 ERR_NO_MESSAGE_ID = "parse error: no message-id marker"
 ERR_INCORRECT_DATE = "Incorrect date: "  # + raw value (utils.clj:45-46)
@@ -69,11 +85,27 @@ def parse_pages(
     partition key ``dt``). One projection; Catalyst prunes unused inputs.
     """
     s = F.decode(F.col("html"), "UTF-8")
+    # section scoping (see pattern-table comment): one marker search splits
+    # the document; subexpression elimination evaluates head/body once even
+    # though many output columns reference them
+    head = F.substring_index(s, _HEAD_END, 1)
+    has_head = F.length(head) != F.length(s)
+    body = F.when(
+        has_head,
+        F.substring(s, F.length(head) + F.lit(len(_HEAD_END) + 1), F.length(s)),
+    ).otherwise(s)
+    btag = F.regexp_extract(body, BODY_TAG_PATTERN, 0)
     cols = {
-        name: _nullify(F.regexp_extract(s, pat, 1))
-        for name, pat in FIELD_PATTERNS.items()
+        name: _nullify(F.regexp_extract(head, pat, 1))
+        for name, pat in HEAD_FIELD_PATTERNS.items()
     }
-    errors = F.regexp_extract_all(s, F.lit(ERRORS_PATTERN), F.lit(1))
+    cols.update(
+        {
+            name: _nullify(F.regexp_extract(btag, pat, 1))
+            for name, pat in BTAG_FIELD_PATTERNS.items()
+        }
+    )
+    errors = F.regexp_extract_all(body, F.lit(ERRORS_PATTERN), F.lit(1))
     ts = clean_ts_col(cols["ts_raw"])
 
     error = (
@@ -119,7 +151,9 @@ def parse_pages(
 
 # --- Arrow-batched parity path -------------------------------------------
 
-_PY_FIELDS = {k: re.compile(v) for k, v in FIELD_PATTERNS.items()}
+_PY_HEAD_FIELDS = {k: re.compile(v) for k, v in HEAD_FIELD_PATTERNS.items()}
+_PY_BTAG_FIELDS = {k: re.compile(v) for k, v in BTAG_FIELD_PATTERNS.items()}
+_PY_BTAG = re.compile(BODY_TAG_PATTERN)
 _PY_ERRORS = re.compile(ERRORS_PATTERN)
 _PY_HOST = re.compile(HOST_PATTERN)
 
@@ -142,8 +176,14 @@ def parse_batch_pandas(pdf):
             if isinstance(html, (bytes, bytearray))
             else (html or "")
         )
-        f = {k: _first(p, s) for k, p in _PY_FIELDS.items()}
-        errors = _PY_ERRORS.findall(s)
+        # section scoping — byte-identical twin of the native expressions
+        i = s.find(_HEAD_END)
+        head, body = (s, s) if i == -1 else (s[:i], s[i + len(_HEAD_END):])
+        m = _PY_BTAG.search(body)
+        btag = m.group(0) if m else ""
+        f = {k: _first(p, head) for k, p in _PY_HEAD_FIELDS.items()}
+        f.update({k: _first(p, btag) for k, p in _PY_BTAG_FIELDS.items()})
+        errors = _PY_ERRORS.findall(body)
         ts = clean_ts_py(f["ts_raw"])
         if f["message_id"] is None:
             error = ERR_NO_MESSAGE_ID

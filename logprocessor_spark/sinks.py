@@ -36,49 +36,122 @@ def write_fanout(
     routed: DataFrame,
     path: str,
     dedup_key: str = "message_id",
-    dedup_buckets: int = 8,
+    cross_day_dedup: bool = True,
 ) -> None:
-    """Single-pass, single-shuffle fan-out write of routed rows (must carry
-    sink/month/dt).
-
-    Dedup scope is **(sink, month)** — the reference's monthly-index
+    """Fan-out write of routed rows (must carry sink/month/dt) with
+    **(sink, month)**-scoped dedup — the reference's monthly-index
     ``_id``-upsert scope (es.clj:102-104): a duplicate id arriving under a
     different ingest day of the same month is collapsed, latest ``dt`` wins
     (upsert = last write wins). Scope is within the batch; collapsing a
     duplicate against a *previously committed* day would be a read-merge
     (Iceberg ``MERGE INTO``) — documented environment debt.
 
-    Shuffle shape: one exchange on (sink, month, bucket) where ``bucket``
-    salts ``dedup_key`` into ``dedup_buckets`` slices. Same key -> same
-    bucket, so a window over exactly those keys dedups with no second
-    shuffle, while parallelism stays #(sink,month) x buckets (a plain
-    (sink, month) window would sort a whole month in one task) and file
-    count stays bounded at #(sink,month,dt) x buckets — not #combos x
-    #tasks (no small-file explosion at 1000 executors).
-    Null-key rows (parse failures -> quarantine) are all kept, salted by
-    url so a month's quarantine doesn't pile into one task."""
-    bucket = F.pmod(
-        F.xxhash64(F.coalesce(F.col(dedup_key), F.col("url"))), F.lit(dedup_buckets)
-    )
-    w = Window.partitionBy("sink", "month", "__b").orderBy(
-        F.col(dedup_key).asc_nulls_first(), F.col("dt").desc()
-    )
+    Execution shape — wide rows move through exactly ONE exchange:
+
+    1. the write repartitions on (sink, month, dt) so each output dir is
+       written by one task (file count = #combos, not #combos x #tasks —
+       no small-file explosion at 1000 executors), and a window over
+       exactly the repartition keys collapses same-day duplicates inside
+       that exchange (Catalyst adds only a sort, no second wide shuffle).
+    2. the cross-day half runs AFTER the commit as a reconcile pass over
+       the *written* table's pruned columns (see
+       ``reconcile_cross_day_dupes``) — never a second pass over the
+       parse pipeline. Callers that know the batch holds a single ingest
+       day (cross-day dupes impossible) pass ``cross_day_dedup=False``
+       and skip even that narrow scan.
+
+    Null-key rows (parse failures -> quarantine) are all kept."""
+    w = Window.partitionBy(*PARTITION_COLS).orderBy(F.col(dedup_key).asc_nulls_first())
     cleaned = (
-        routed.withColumn("__b", bucket)
-        .repartition(F.col("sink"), F.col("month"), F.col("__b"))
+        routed.repartition(*[F.col(c) for c in PARTITION_COLS])
         .withColumn("__prev", F.lag(dedup_key).over(w))
         .where(
             F.col(dedup_key).isNull()
             | F.col("__prev").isNull()
             | (F.col("__prev") != F.col(dedup_key))
         )
-        .drop("__prev", "__b")
+        .drop("__prev")
     )
     (
         cleaned.write.mode("overwrite")
         .partitionBy(*PARTITION_COLS)
         .parquet(path)
     )
+    if cross_day_dedup:
+        reconcile_cross_day_dupes(routed.sparkSession, path, dedup_key)
+
+
+def reconcile_cross_day_dupes(
+    spark: SparkSession, path: str, dedup_key: str = "message_id"
+) -> int:
+    """Collapse duplicate ids that landed under DIFFERENT ingest days of
+    the same (sink, month) — the cross-day half of the monthly upsert.
+
+    Works off the *written* table, so the detection scan reads only the
+    pruned (sink, month, dt, key) columns — three of them partition values
+    that cost no data pages — never re-running parse. The common case (no
+    cross-day duplicates) is exactly that one narrow scan; when losers
+    exist, only the affected day-partitions are rewritten via dynamic
+    overwrite (localCheckpoint breaks the read-own-output cycle on a
+    row set that is rare-case small). Returns #rows removed."""
+    sunk = spark.read.parquet(path)
+    narrow = sunk.select("sink", "month", "dt", dedup_key)
+    losers = (
+        narrow.where(F.col(dedup_key).isNotNull())
+        .groupBy("sink", "month", dedup_key)
+        .agg(
+            F.max("dt").alias("__keep_dt"),
+            F.countDistinct("dt").alias("__nd"),
+        )
+        .where(F.col("__nd") > 1)
+        .drop("__nd")
+        .persist()
+    )
+    # common case — no cross-day duplicates — exits after exactly one
+    # narrow scan; the join back (a second scan) is rare-path only
+    if losers.isEmpty():
+        losers.unpersist()
+        return 0
+    affected = [
+        (r.sink, r.month, r.dt)
+        for r in narrow.join(losers, on=["sink", "month", dedup_key])
+        .where(F.col("dt") != F.col("__keep_dt"))
+        .select("sink", "month", "dt")
+        .distinct()
+        .collect()
+    ]
+    if not affected:
+        losers.unpersist()
+        return 0
+    part = F.struct("sink", "month", "dt")
+    in_affected = part.isin([F.struct(*[F.lit(v) for v in a]) for a in affected])
+    before = sunk.where(in_affected)
+    keep = (
+        before.join(losers, on=["sink", "month", dedup_key], how="left")
+        .where(F.col("__keep_dt").isNull() | (F.col("dt") == F.col("__keep_dt")))
+        .drop("__keep_dt")
+        .localCheckpoint()  # materialize before overwriting what we read
+    )
+    removed = before.count() - keep.count()
+    (
+        keep.repartition(*[F.col(c) for c in PARTITION_COLS])
+        .write.mode("overwrite")
+        .partitionBy(*PARTITION_COLS)
+        .parquet(path)
+    )
+    # dynamic overwrite only rewrites partitions PRESENT in `keep`; a day
+    # whose every row was a loser must have its directory removed outright
+    kept_parts = {
+        (r.sink, r.month, r.dt)
+        for r in keep.select("sink", "month", "dt").distinct().collect()
+    }
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for s, m, d in (a for a in affected if a not in kept_parts):
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/sink={s}/month={m}/dt={d}")
+        p.getFileSystem(hconf).delete(p, True)
+    losers.unpersist()
+    return removed
 
 
 def read_sink(spark: SparkSession, path: str, sink: str | None = None) -> DataFrame:

@@ -1,0 +1,153 @@
+"""Raw-file ingest sources (SURVEY §2a S3/S4): crawl-dump directories and
+zip archives -> the pages table shape.
+
+The reference's front end lists an object store and lazily fetches bodies
+(utils.clj:108-124 S3 listing + fetch) or walks zip archives in a test
+tree, tolerating a corrupt archive (utils.clj:132-149, broken.zip). The
+Spark-first equivalents:
+
+* ``read_raw_pages``  — ``spark.read.format("binaryFile")`` over a
+  directory (local, HDFS, s3a://... — any Hadoop FS). The listing is
+  driver-side metadata only; bodies stream executor-side at scan time,
+  which IS the lazy-fetch semantics. Each file becomes one page row:
+  url = file URI, warc_ts = modificationTime, html = content bytes,
+  text/lang derived by extraction (language-ID over the extracted text).
+* ``read_zip_pages``  — zip archives exploded into member pages via
+  Arrow-batched ``mapInPandas`` (one zip per input row; members stream
+  out batch-wise). A corrupt/unreadable archive degrades to a single
+  junk page row that the parse stage quarantines — per-record error
+  containment (X4), never a task failure; mirrors the reference's
+  broken.zip tolerance.
+* ``ingest_raw_dir`` — land either source as a dt-partitioned pages
+  table, the front door to ``job.run_pipeline`` (crawl dump -> pages
+  table -> parse/enrich/route), partition-granular resume included.
+
+Scale notes: ``binaryFile`` parallelizes by file; millions of small files
+want a manifest-based reader or an upstream compaction, and the zip path
+holds one archive in executor memory at a time — size executors to the
+largest archive (the same constraint the reference's in-memory
+ZipInputStream walk has).
+"""
+
+from __future__ import annotations
+
+import io
+import zipfile
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from .functions.textextract import extract_text_col
+from .functions.textstats import lang_id
+
+RAW_PAGE_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("html", BinaryType()),
+    ]
+)
+
+
+def _finish_pages(raw: DataFrame) -> DataFrame:
+    """(url, warc_ts, html) -> full pages shape (BASELINE.json input_hint):
+    text extracted from the markup, lang predicted from the text. Both are
+    one projection — subexpression elimination evaluates the extraction
+    once even though lang_id references it too."""
+    text = extract_text_col(F.col("html"))
+    return raw.select(
+        "url",
+        "warc_ts",
+        "html",
+        text.alias("text"),
+        lang_id(text).alias("lang"),
+        F.date_format("warc_ts", "yyyy-MM-dd").alias("dt"),
+    )
+
+
+def read_raw_pages(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Directory of raw .html/.xml files -> pages rows. ``glob`` filters
+    the listing (e.g. ``"*.html"``) before any byte is read (P5 analog:
+    file-listing filter, utils.clj:117-120)."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path).select(
+        F.col("path").alias("url"),
+        F.col("modificationTime").alias("warc_ts"),
+        F.col("content").alias("html"),
+    )
+    return _finish_pages(raw)
+
+
+def read_zip_pages(spark: SparkSession, path: str, glob: str = "*.zip") -> DataFrame:
+    """Zip archives -> one pages row per member. Corrupt archives become a
+    single unparseable page (quarantined downstream) instead of failing
+    the task (utils.clj:132-149 broken.zip semantics)."""
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "modificationTime", "content")
+    )
+
+    def explode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for p, mt, content in zip(
+                pdf["path"], pdf["modificationTime"], pdf["content"]
+            ):
+                try:
+                    zf = zipfile.ZipFile(io.BytesIO(content))
+                    for name in zf.namelist():
+                        if name.endswith("/"):
+                            continue
+                        try:
+                            body = zf.read(name)
+                        except (zipfile.BadZipFile, OSError, RuntimeError):
+                            body = b""  # one bad member -> one quarantined page
+                        rows.append({"url": f"{p}!/{name}", "warc_ts": mt, "html": body})
+                except (zipfile.BadZipFile, OSError, RuntimeError):
+                    # junk archive -> junk page -> parse error -> quarantine
+                    rows.append({"url": p, "warc_ts": mt, "html": bytes(content)})
+            if rows:
+                yield pd.DataFrame(rows, columns=["url", "warc_ts", "html"])
+
+    return _finish_pages(raw.mapInPandas(explode, schema=RAW_PAGE_SCHEMA))
+
+
+def ingest_raw_dir(
+    spark: SparkSession,
+    raw_path: str,
+    pages_path: str,
+    glob: str | None = None,
+    include_zips: bool = True,
+) -> int:
+    """Land a raw crawl directory as a dt-partitioned pages table — the
+    front door to ``job.run_pipeline``. Returns the number of pages
+    written. Plain files and zip members are unioned; the write shuffles
+    once on dt so each day directory is written by one task wave."""
+    if include_zips and glob is None:
+        glob = "*.{html,htm,xml,txt}"  # keep archives out of the plain scan
+    pages = read_raw_pages(spark, raw_path, glob)
+    if include_zips:
+        pages = pages.unionByName(read_zip_pages(spark, raw_path))
+    (
+        pages.repartition(F.col("dt"))
+        .write.mode("overwrite")
+        .partitionBy("dt")
+        .parquet(pages_path)
+    )
+    return spark.read.parquet(pages_path).count()

@@ -70,9 +70,11 @@ def test_every_oracle_has_query():
     assert set(oracles) <= set(qs)
     # every query either has an oracle or is a documented hash-based LSH op
     rows_only = set(qs) - set(oracles)
+    # xxhash64-derived fingerprints/buckets are not SQL-expressible;
+    # engine-independent verification for these lives in
+    # tests/test_dedup.py and tests/test_similarity.py
     assert rows_only <= {
-        "dedup_minhash_pairs",
         "dedup_simhash_pairs",
-        "dedup_ngram_pairs",
         "ann_lsh_topk",
+        "ann_lsh_topk_pruned",
     }

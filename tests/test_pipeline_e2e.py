@@ -219,3 +219,39 @@ def test_pandas_parse_path_matches_native(spark, tmp_path):
         read_sink(spark, f"{base}/pd/routed").select("sink", "url", "dt").collect()
     )
     assert nat == pd_ and nat
+
+
+def test_live_progress_observations_and_heartbeats(spark, tmp_path):
+    """X5: row/quarantine counters fused into the write job (Observation —
+    no extra scan), heartbeat rows durable, statusTracker poller runs."""
+    from logprocessor_spark.progress import ProgressTracker, read_heartbeats
+
+    base = str(tmp_path)
+    write_pages_partitioned(gen_pages(spark, 500, seed=3), f"{base}/pages")
+    tracker = ProgressTracker(spark, run_id="obs", out_dir=f"{base}/out",
+                              poll_interval=0.05)
+    tracker.start()
+    res = run_pipeline(
+        spark, f"{base}/pages", f"{base}/out", run_id="obs",
+        group_size=20, progress=tracker,
+    )
+    tracker.stop()
+    hbs = read_heartbeats(spark, f"{base}/out").collect()
+    assert sum(h.rows for h in hbs) == res.rows_in == 500
+    assert sum(h.quarantined for h in hbs) == res.quarantined
+    assert len(hbs) >= 2  # one per batch (group_size splits the days)
+    for key in list(tracker._obs):
+        m = tracker.batch_metrics(key)
+        assert m["rows"] > 0
+
+
+def test_search_wildcard_terms(spark, pipe):
+    """O3 wildcard: 'book*' must match tokens with the prefix; plain+wild
+    conjunction narrows; non-matching wildcard yields nothing."""
+    base, _ = pipe
+    routed = read_sink(spark, f"{base}/out/routed")
+    wild = search(routed, "book*", limit=200)
+    assert wild.count() > 0
+    plain = search(routed, "booking", limit=200).count()
+    assert wild.count() >= plain
+    assert search(routed, "zzzzqqq*", limit=10).count() == 0

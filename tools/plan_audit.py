@@ -120,6 +120,62 @@ def main() -> None:
         and "BroadcastNestedLoopJoin" not in p,
     )
 
+    check(
+        "minhash LSH: signature persisted (computed once)",
+        "InMemoryTableScan" in p,
+    )
+
+    # banded embedding LSH: equi-join candidates, vectors joined back late
+    p = plan_of(harness.q_near_dup_embeddings_lsh(spark, sf_dir))
+    check(
+        "embedding LSH: equi-join candidates, no cartesian",
+        "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+    )
+    check("embedding LSH: band keys persisted", "InMemoryTableScan" in p)
+
+    # prebucketed ANN: bucket predicate prunes partitions at the scan
+    import hashlib
+    import os
+
+    from logprocessor_spark.operators.similarity import (
+        lsh_ann_topk_prebucketed,
+        materialize_lsh_buckets,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    bpath = f"/tmp/lp_lsh_buckets_{tag}"
+    if not os.path.exists(os.path.join(bpath, "_SUCCESS")):
+        materialize_lsh_buckets(emb.select("vec_id", "embedding"), bpath)
+    qv = [float(x) for x in emb.where("vec_id = 7").first().embedding]
+    p = plan_of(lsh_ann_topk_prebucketed(spark, bpath, qv))
+    m = re.search(r"PartitionFilters: \[([^\]]*)", p)
+    check(
+        "prebucketed ANN: partition pruning on bucket",
+        m is not None and "bucket" in m.group(1) and "IN" in m.group(1).upper(),
+        (m.group(1)[:80] if m else "no PartitionFilters"),
+    )
+
+    # reconcile scan: column pruning — only the dedup key + partition cols
+    from logprocessor_spark.sinks import write_fanout
+
+    out = "/tmp/lp_plan_audit_sink"
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    write_fanout(routed, out, cross_day_dedup=False)
+    narrow = (
+        spark.read.parquet(out).select("sink", "month", "dt", "message_id")
+    )
+    p = plan_of(narrow.groupBy("sink", "month", "message_id").count())
+    rs = re.search(r"ReadSchema: ([^\n]*)", p)
+    check(
+        "reconcile detection: narrow scan (no text/url columns)",
+        rs is not None and "text" not in rs.group(1) and "url" not in rs.group(1),
+        (rs.group(1)[:80] if rs else "no ReadSchema"),
+    )
+    shutil.rmtree(out, ignore_errors=True)
+
     n_fail = sum(1 for _, ok, _ in CHECKS if not ok)
     with open("BENCH/PLANS.md", "w") as f:
         f.write("# Physical-plan audit (tools/plan_audit.py)\n\n")
