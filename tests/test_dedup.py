@@ -107,3 +107,67 @@ def test_short_docs_do_not_crash_ansi(spark):
     assert all(len(r.s) >= 1 for r in sh)
     assert ngram_jaccard_pairs(df, threshold=0.9).count() >= 1
     assert simhash_candidates(df).count() >= 1
+
+
+def test_simhash_and_minhash_match_independent_reference(spark, docs):
+    """Blind verification of the hash-based operators: recompute simhash
+    fingerprints and minhash signatures from first principles with a
+    pure-Python XXH64 (tests/xxh64_ref.py, public spec) and require
+    bit-equality with the Spark expressions — the engine-independent check
+    SQL oracles can't provide (r1 VERDICT #7)."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from logprocessor_spark.operators.dedup import (
+        minhash_signature,
+        word_shingle_hashes,
+    )
+    from .xxh64_ref import I32, MASK, spark_xxhash64, to_i64
+
+    sample = docs.orderBy("doc_id").limit(5).select("doc_id", "text").collect()
+    got = (
+        docs.orderBy("doc_id").limit(5)
+        .select(
+            "doc_id",
+            simhash(F.col("text")).alias("sh"),
+            word_shingle_hashes(F.col("text")).alias("wsh"),
+        )
+        .withColumn("sig", minhash_signature(F.col("wsh")))
+        .collect()
+    )
+
+    def py_simhash(text, bits=64):
+        votes = [0] * bits
+        for t in _re.split(r"\s+", text.strip().lower()):
+            hu = spark_xxhash64(t) & MASK
+            for b in range(bits):
+                votes[b] += 1 if (hu >> b) & 1 else -1
+        packed = 0
+        for b in range(bits):
+            if votes[b] > 0:
+                packed |= 1 << b
+        return to_i64(packed)
+
+    def py_shingle_hashes(text, k=3):
+        words = _re.split(r"\s+", text.strip().lower())
+        n = len(words)
+        out, seen = [], set()
+        for i in range(max(n - k + 1, 1)):
+            h = spark_xxhash64(*[words[i + j] for j in range(k) if i + j < n])
+            if h not in seen:
+                seen.add(h)
+                out.append(h)
+        return out
+
+    def py_signature(shingles, num=32):
+        return [
+            min(to_i64(spark_xxhash64(s, I32(i)) & MASK) for s in shingles)
+            for i in range(num)
+        ]
+
+    for row, src in zip(got, sample):
+        assert row.doc_id == src.doc_id
+        assert row.sh == py_simhash(src.text), f"simhash doc {src.doc_id}"
+        assert list(row.wsh) == py_shingle_hashes(src.text), f"shingles {src.doc_id}"
+        assert list(row.sig) == py_signature(row.wsh), f"signature {src.doc_id}"
