@@ -91,7 +91,11 @@ def run_pipeline_once(master: str, n_docs: int, pages_path: str, out_dir: str) -
     spark = get_spark(
         "bench-pipeline",
         master=master,
-        shuffle_partitions=max(cores, 4),
+        # 2x cores: one shuffle partition per core makes the write stage a
+        # single wave where one skewed (sink, month, dt) combo stalls the
+        # whole stage; two waves let the scheduler pack around stragglers
+        # (same reason clusters run 2-3x total-core shuffle partitions)
+        shuffle_partitions=max(2 * cores, 8),
         extra_conf={"spark.local.dir": f"/dev/shm/bench-sparktmp-{cores}-{os.getpid()}"},
     )
     pages_path = pages_path or _make_input(spark, n_docs, tempfile.mkdtemp(prefix="benchpages"))

@@ -91,8 +91,13 @@ def extract_text_col(html: Column) -> Column:
         ent_chain = F.regexp_replace(ent_chain, re.escape(ent), rep.replace("$", r"\$"))
     s = F.when(F.contains(s, F.lit("&")), ent_chain).otherwise(s)
     s = F.regexp_replace(s, _RE_WS, " ")
-    # trim only ASCII spaces (F.trim strips unicode space too — avoid)
-    s = F.regexp_replace(s, r"^ +| +$", "")
+    # after the collapse pass, any leading/trailing whitespace is exactly
+    # one ASCII space — btrim(' ') removes it by scanning only the string
+    # ENDS, where a regex `^ +| +$` pass walks the whole document (a full
+    # rewrite's worth of memory traffic). F.trim strips unicode space too,
+    # so btrim with an explicit ASCII-space trim set keeps byte parity
+    # with extract_text_py's .strip(" ").
+    s = F.btrim(s, F.lit(" "))
     return s
 
 

@@ -191,9 +191,12 @@ def run_pipeline(
             routed = progress.observe_batch(routed, batch_key)
 
         # single-day batches cannot contain cross-day duplicates — skip
-        # even the reconcile scan
+        # even the reconcile scan; multi-day batches prune it to their days
         write_fanout(
-            routed, f"{out_dir}/routed", cross_day_dedup=len(batch) > 1
+            routed,
+            f"{out_dir}/routed",
+            cross_day_dedup=len(batch) > 1,
+            batch_dts=batch,
         )
 
         # count what was COMMITTED: parquet footer row counts per written

@@ -37,6 +37,7 @@ def write_fanout(
     path: str,
     dedup_key: str = "message_id",
     cross_day_dedup: bool = True,
+    batch_dts: list[str] | None = None,
 ) -> None:
     """Fan-out write of routed rows (must carry sink/month/dt) with
     **(sink, month)**-scoped dedup — the reference's monthly-index
@@ -78,11 +79,14 @@ def write_fanout(
         .parquet(path)
     )
     if cross_day_dedup:
-        reconcile_cross_day_dupes(routed.sparkSession, path, dedup_key)
+        reconcile_cross_day_dupes(routed.sparkSession, path, dedup_key, dts=batch_dts)
 
 
 def reconcile_cross_day_dupes(
-    spark: SparkSession, path: str, dedup_key: str = "message_id"
+    spark: SparkSession,
+    path: str,
+    dedup_key: str = "message_id",
+    dts: list[str] | None = None,
 ) -> int:
     """Collapse duplicate ids that landed under DIFFERENT ingest days of
     the same (sink, month) — the cross-day half of the monthly upsert.
@@ -95,6 +99,11 @@ def reconcile_cross_day_dupes(
     overwrite (localCheckpoint breaks the read-own-output cycle on a
     row set that is rare-case small). Returns #rows removed."""
     sunk = spark.read.parquet(path)
+    if dts is not None:
+        # a duplicate pair must have BOTH copies inside the batch that was
+        # just written (earlier days are committed and out of scope), so
+        # the detection scan partition-prunes to the batch's days
+        sunk = sunk.where(F.col("dt").isin(dts))
     narrow = sunk.select("sink", "month", "dt", dedup_key)
     losers = (
         narrow.where(F.col(dedup_key).isNotNull())
