@@ -794,6 +794,33 @@ SELECT lang_pred, count(*) AS n_docs FROM p GROUP BY lang_pred
 """
 
 
+def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling content fingerprints (64-char window, stride 32) flattened
+    to (doc_id, idx, fp) — near-dup candidate material, oracle-verified
+    value-for-value (md5 is bit-identical across engines)."""
+    from .functions.textstats import rolling_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.posexplode(rolling_fingerprints(F.col("text"))).alias("idx", "fp"),
+    ).select("doc_id", F.col("idx").cast("int").alias("idx"), "fp")
+
+
+SQL_ROLLING_FINGERPRINTS = """
+WITH r AS (
+  SELECT doc_id, text, range(1, greatest(length(text)-63, 1)+1, 32) AS starts
+  FROM documents
+), e AS (
+  SELECT doc_id, text, generate_subscripts(starts, 1) AS gs, unnest(starts) AS s
+  FROM r
+)
+SELECT doc_id, CAST(gs - 1 AS INT) AS idx,
+       md5(substring(text, CAST(s AS INT), 64)) AS fp
+FROM e
+"""
+
+
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score (C4/Gopher-style cheap filters)."""
     d = _t(spark, sf_dir, "documents")
@@ -1082,6 +1109,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "lang_id_counts": q_lang_id_counts,
     "quality_scores": q_quality_scores,
+    "rolling_fingerprints": q_rolling_fingerprints,
     "cosine_topk": q_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "knn_join": q_knn_join,
@@ -1123,6 +1151,7 @@ ORACLES: dict[str, str] = {
     "text_stats": SQL_TEXT_STATS,
     "lang_id_counts": SQL_LANG_ID_COUNTS,
     "quality_scores": SQL_QUALITY_SCORES,
+    "rolling_fingerprints": SQL_ROLLING_FINGERPRINTS,
     "cosine_topk": SQL_COSINE_TOPK,
     "knn_join": SQL_KNN_JOIN,
     "near_dup_embeddings": SQL_NEAR_DUP_EMBEDDINGS,
