@@ -266,6 +266,76 @@ def lsh_ann_topk_prebucketed(
     return cosine_topk(bucketed, query_vec, k, id_col, vec_col)
 
 
+def ivf_build(
+    emb: DataFrame,
+    path: str,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    train_fraction: float = 1.0,
+) -> list[list[float]]:
+    """IVF index build: k-means coarse quantizer (Spark MLlib, seeded,
+    trained on a sample — ``train_fraction`` — because centroids converge
+    long before the full corpus is seen at 10^12 rows), then the corpus
+    written partitioned by its nearest-centroid list id. Returns the
+    centroids (driver-side, k x dim — tiny) for the query path.
+
+    The flat-LSH alternative is ``materialize_lsh_buckets``; IVF adapts
+    to the data distribution where hyperplane buckets are data-oblivious."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = emb.withColumn(
+        "__features", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    train = feats if train_fraction >= 1.0 else feats.sample(train_fraction, seed=seed)
+    model = KMeans(k=k, seed=seed, featuresCol="__features").fit(
+        train.select("__features")
+    )
+    assigned = (
+        model.transform(feats)
+        .withColumnRenamed("prediction", "list_id")
+        .select(id_col, vec_col, "list_id")
+    )
+    (
+        assigned.repartition(F.col("list_id"))
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(path)
+    )
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def ivf_topk(
+    spark,
+    path: str,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe: rank centroids by cosine to the query DRIVER-side (k x
+    dim floats — no Spark job), then rerank only the ``nprobe`` nearest
+    inverted lists via a partition-pruned scan. Candidate fraction ~
+    nprobe/k of the corpus, adapting to density unlike hyperplane LSH."""
+    import math
+
+    qn = math.sqrt(sum(x * x for x in query_vec))
+
+    def cos(c):
+        cn = math.sqrt(sum(x * x for x in c))
+        d = sum(a * b for a, b in zip(c, query_vec))
+        return d / (cn * qn) if cn and qn else 0.0
+
+    order = sorted(range(len(centroids)), key=lambda i: -cos(centroids[i]))
+    probes = order[:nprobe]
+    lists = spark.read.parquet(path).where(F.col("list_id").isin(probes))
+    return cosine_topk(lists, query_vec, k, id_col, vec_col)
+
+
 def cosine_knn_join(
     queries: DataFrame,
     corpus: DataFrame,

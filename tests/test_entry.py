@@ -77,4 +77,5 @@ def test_every_oracle_has_query():
         "dedup_simhash_pairs",
         "ann_lsh_topk",
         "ann_lsh_topk_pruned",
+        "ann_ivf_topk",
     }

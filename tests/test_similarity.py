@@ -150,3 +150,25 @@ def test_prebucketed_ann_equals_in_memory(spark, emb, query_vec, tmp_path):
 
     n_dirs = len([d for d in os.listdir(path) if d.startswith("bucket=")])
     assert n_dirs > 9  # multiple buckets exist; probe reads <= 9 of them
+
+
+def test_ivf_build_and_probe(spark, emb, query_vec, tmp_path):
+    """IVF: seeded k-means lists, partition-pruned probe, self found at
+    rank 1, all returned sims equal brute-force values, candidate set
+    strictly smaller than the corpus."""
+    import os
+
+    from logprocessor_spark.operators.similarity import ivf_build, ivf_topk
+
+    path = str(tmp_path / "ivf")
+    cents = ivf_build(emb.select("vec_id", "embedding"), path, k=8)
+    assert len(cents) == 8 and len(cents[0]) == len(query_vec)
+    got = ivf_topk(spark, path, cents, query_vec, k=5, nprobe=2).collect()
+    assert got[0].vec_id == 0 and got[0].cosine_sim == 1.0
+    brute = {r.vec_id: r.cosine_sim for r in cosine_topk(emb, query_vec, k=500).collect()}
+    for r in got:
+        assert brute[r.vec_id] == r.cosine_sim
+    n_lists = len([d for d in os.listdir(path) if d.startswith("list_id=")])
+    assert n_lists == 8  # probe reads 2 of them (partition pruning)
+    cand = spark.read.parquet(path).where(F.col("list_id").isin([0, 1])).count()
+    assert cand < emb.count()
