@@ -1077,6 +1077,32 @@ FROM documents
 """
 
 
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (multimodal.frame_sample_plan): one row
+    per (media_id, frame_ts_ms) at a 1000 ms stride — the native explode
+    shape video processing fans out through at scale. Media durations are
+    derived portably from doc_id so the oracle re-enumerates the exact
+    frame set."""
+    from .operators.multimodal import frame_sample_plan
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            _arr(["image", "audio", "video"]), (F.col("doc_id").cast("int") % 3) + 1
+        ).alias("kind"),
+        ((F.col("doc_id") * 7919) % 600000 + 1).alias("duration_ms"),
+    )
+    return frame_sample_plan(media, every_ms=1000)
+
+
+SQL_MULTIMODAL_FRAME_SAMPLE = """
+SELECT doc_id AS media_id,
+       CAST(unnest(range(0, (doc_id*7919) % 600000 + 1, 1000)) AS BIGINT) AS frame_ts_ms
+FROM documents WHERE doc_id % 3 = 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1145,6 +1171,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_search_topk": q_doc_search_topk,
     "doc_search_wildcard": q_doc_search_wildcard,
     "multimodal_features": q_multimodal_features,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -1187,4 +1214,5 @@ ORACLES: dict[str, str] = {
     "doc_search_topk": SQL_DOC_SEARCH_TOPK,
     "doc_search_wildcard": SQL_DOC_SEARCH_WILDCARD,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "multimodal_frame_sample": SQL_MULTIMODAL_FRAME_SAMPLE,
 }
