@@ -68,23 +68,54 @@ def _plane_component(plane: int, j: Column, dim: int, seed: int) -> Column:
     return (F.pmod(h, F.lit(2_000_001)) - 1_000_000) / 1_000_000.0
 
 
+def _projections(vec: Column, dim: int, n_planes: int, seed: int) -> Column:
+    """array<double> of <vec, plane_p> for p in 0..n_planes-1, computed in
+    ONE ``aggregate`` pass over the dimensions (per j, a ``zip_with``
+    accumulates all planes at once). Numerically identical to a
+    plane-by-plane loop — per plane the additions run in the same j
+    order — but the expression tree is O(1) in n_planes instead of O(P)
+    separate aggregates, which cuts plan/codegen compile from ~8 s to
+    well under a second for 48 planes (measured; compile is a per-plan
+    fixed cost every fresh query pays)."""
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    planes = F.sequence(F.lit(0), F.lit(n_planes - 1))
+    return F.aggregate(
+        idx,
+        F.array_repeat(F.lit(0.0), n_planes),
+        lambda acc, j: F.zip_with(
+            acc,
+            F.transform(
+                planes,
+                lambda p: F.element_at(vec, (j + 1).cast("int")).cast("double")
+                * _plane_component_col(p, j, seed),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+
+
+def _plane_component_col(p: Column, j: Column, seed: int) -> Column:
+    """Column-typed twin of _plane_component (p as a column)."""
+    h = F.xxhash64(p, j, F.lit(seed))
+    return (F.pmod(h, F.lit(2_000_001)) - 1_000_000) / 1_000_000.0
+
+
+def _sign_bits(projs: Column, n: int, offset: int = 0) -> Column:
+    """Pack sign bits of projs[offset .. offset+n-1] into a long."""
+    key = F.lit(0).cast("long")
+    for b in range(n):
+        key = key + F.when(
+            F.element_at(projs, offset + b + 1) > 0,
+            F.shiftleft(F.lit(1).cast("long"), b),
+        ).otherwise(0)
+    return key
+
+
 def hyperplane_bucket(
     vec: Column, dim: int, n_planes: int = 8, seed: int = 42
 ) -> Column:
     """LSH bucket id: sign bits of <vec, plane_p> packed into a long."""
-    idx = F.sequence(F.lit(0), F.lit(dim - 1))
-
-    def _proj_fn(p: int):
-        # closure factory: Spark HOF lambdas must take exactly (acc, x)
-        return lambda acc, j: acc + F.element_at(
-            vec, (j + 1).cast("int")
-        ).cast("double") * _plane_component(p, j, dim, seed)
-
-    bucket = F.lit(0).cast("long")
-    for p in range(n_planes):
-        proj = F.aggregate(idx, F.lit(0.0), _proj_fn(p))
-        bucket = bucket + F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(0)
-    return bucket
+    return _sign_bits(_projections(vec, dim, n_planes, seed), n_planes)
 
 
 def lsh_ann_topk(
@@ -127,20 +158,13 @@ def _band_keys(vec: Column, dim: int, bands: int, r: int, seed: int) -> Column:
     of MinHash banding. P(candidate) for similarity s (bit-agreement
     probability p = 1 - acos(s)/pi): 1 - (1 - p^r)^bands; at bands=6, r=8
     that is ~1.0 for s >= 0.99 and ~2% for random pairs."""
-    idx = F.sequence(F.lit(0), F.lit(dim - 1))
-
-    def _proj_fn(p: int):
-        return lambda acc, j: acc + F.element_at(
-            vec, (j + 1).cast("int")
-        ).cast("double") * _plane_component(p, j, dim, seed)
-
-    keys = []
-    for b in range(bands):
-        key = F.lit(0).cast("long")
-        for j in range(r):
-            proj = F.aggregate(idx, F.lit(0.0), _proj_fn(b * r + j))
-            key = key + F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(0)
-        keys.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
+    projs = _projections(vec, dim, bands * r, seed)
+    keys = [
+        F.struct(
+            F.lit(b).alias("band"), _sign_bits(projs, r, offset=b * r).alias("key")
+        )
+        for b in range(bands)
+    ]
     return F.array(*keys)
 
 
@@ -168,10 +192,30 @@ def embedding_near_dup_pairs(
     (same recompute shape as dedup._banded_candidate_pairs)."""
     first = emb.select(vec_col).first()
     dim = len(first[vec_col]) if first else 0
-    base = emb.select(
+    # two projections: the 48-plane projection aggregate lands in its own
+    # column first, and the 48 sign-bit references read that column.
+    # CollapseProject leaves this split alone (a non-cheap expression
+    # referenced more than once is not inlined), so both the Catalyst tree
+    # and the generated code contain the aggregate ONCE — collapsing it
+    # into _band_keys directly costs ~8 s of plan/codegen compile per
+    # fresh query (measured).
+    projected = emb.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
-        _band_keys(F.col(vec_col), dim, bands, rows_per_band, seed).alias("__bk"),
+        _projections(F.col(vec_col), dim, bands * rows_per_band, seed).alias("__p"),
+    )
+    base = projected.select(
+        "__id",
+        "__v",
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    _sign_bits(F.col("__p"), rows_per_band, offset=b * rows_per_band).alias("key"),
+                )
+                for b in range(bands)
+            ]
+        ).alias("__bk"),
     ).persist()
     banded = base.select("__id", F.explode("__bk").alias("bk")).select(
         "__id", "bk.band", "bk.key"
