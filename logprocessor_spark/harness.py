@@ -1077,6 +1077,57 @@ FROM documents
 """
 
 
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data curation chain composed end-to-end as ONE logical
+    plan: quality gate -> language gate -> exact dedup (keep min id per
+    distinct text). Catalyst fuses the gates into the scan and the dedup
+    is the standard 32-byte-key groupBy — the shape a 100 TB curation run
+    takes. Oracle recomputes the identical survivors in SQL."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "text",
+        quality_score(F.col("text")).alias("qscore"),
+        lang_id(F.col("text")).alias("lang_pred"),
+    )
+    filtered = scored.where((F.col("qscore") >= 0.5) & (F.col("lang_pred") == "en"))
+    from .operators.dedup import exact_dedup
+
+    return exact_dedup(filtered).select("doc_id", "qscore")
+
+
+SQL_CURATE_CORPUS = r"""
+WITH f AS (
+  SELECT doc_id, text,
+    length(text) AS n_chars,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+    len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+    len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+    len(regexp_extract_all(text, '(?i)\b(the|and|of|to|a|in|is|it)\b')) AS n_stop,
+    len(regexp_extract_all(text, '(?i)\b(der|die|und|das|ist|nicht|ein)\b')) AS s_de,
+    len(regexp_extract_all(text, '(?i)\b(le|la|et|les|des|est|une)\b')) AS s_fr,
+    len(regexp_extract_all(text, '(?i)\b(el|la|los|que|es|una|por)\b')) AS s_es
+  FROM documents
+), g AS (
+  SELECT doc_id, text, n_stop AS s_en, s_de, s_fr, s_es,
+    round(0.4 * least((n_stop / (CASE WHEN n_tokens > 0 THEN n_tokens ELSE 1 END)) * 4, 1.0)
+        + 0.3 * (CASE WHEN (n_chars - (n_tokens - 1)) / (CASE WHEN n_tokens > 0 THEN n_tokens ELSE 1 END) >= 3
+                       AND (n_chars - (n_tokens - 1)) / (CASE WHEN n_tokens > 0 THEN n_tokens ELSE 1 END) <= 10
+                      THEN 1.0 ELSE 0.0 END)
+        + 0.2 * (1.0 - least((n_punct / (CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END)) * 5, 1.0))
+        + 0.1 * (1.0 - least((n_digit / (CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END)) * 5, 1.0)), 4) AS qscore
+  FROM f
+), k AS (
+  SELECT doc_id, text, qscore FROM g
+  WHERE qscore >= 0.5
+    AND greatest(s_en, s_de, s_fr, s_es) > 0
+    AND s_en = greatest(s_en, s_de, s_fr, s_es)
+)
+SELECT min(doc_id) AS doc_id, qscore FROM k GROUP BY md5(text), qscore
+"""
+
+
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plan (multimodal.frame_sample_plan): one row
     per (media_id, frame_ts_ms) at a 1000 ms stride — the native explode
@@ -1172,6 +1223,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_search_wildcard": q_doc_search_wildcard,
     "multimodal_features": q_multimodal_features,
     "multimodal_frame_sample": q_multimodal_frame_sample,
+    "curate_corpus": q_curate_corpus,
 }
 
 ORACLES: dict[str, str] = {
@@ -1215,4 +1267,5 @@ ORACLES: dict[str, str] = {
     "doc_search_wildcard": SQL_DOC_SEARCH_WILDCARD,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "multimodal_frame_sample": SQL_MULTIMODAL_FRAME_SAMPLE,
+    "curate_corpus": SQL_CURATE_CORPUS,
 }
