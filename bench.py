@@ -52,6 +52,7 @@ HEADLINE = [
     "ann_lsh_topk",         # LSH ANN
     "near_dup_embeddings_lsh",  # banded-LSH embedding near-dup (scale path)
     "doc_search_topk",      # full-text top-k
+    "curate_corpus",        # quality -> lang -> dedup chain (one plan)
 ]
 
 

@@ -74,14 +74,17 @@ def _finish_pages(raw: DataFrame) -> DataFrame:
 
 
 def read_raw_pages(
-    spark: SparkSession, path: str, glob: str | None = None
+    spark: SparkSession, path: str, glob: str | None = None, recursive: bool = False
 ) -> DataFrame:
     """Directory of raw .html/.xml files -> pages rows. ``glob`` filters
     the listing (e.g. ``"*.html"``) before any byte is read (P5 analog:
-    file-listing filter, utils.clj:117-120)."""
+    file-listing filter, utils.clj:117-120); ``recursive`` descends into
+    subdirectories the way a crawl dump is usually laid out."""
     reader = spark.read.format("binaryFile")
     if glob:
         reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
     raw = reader.load(path).select(
         F.col("path").alias("url"),
         F.col("modificationTime").alias("warc_ts"),
