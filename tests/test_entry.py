@@ -79,3 +79,24 @@ def test_every_oracle_has_query():
         "ann_lsh_topk_pruned",
         "ann_ivf_topk",
     }
+
+
+def test_bench_headline_names_resolve():
+    """Every bench.py HEADLINE entry must exist in queries() — a typo here
+    breaks the per-round bench silently."""
+    import bench
+
+    qs = entrymod.queries()
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert missing == []
+
+
+def test_all_oracles_are_valid_duckdb_sql(duck):
+    """Cheap syntax/column-resolution guard: every oracle must at least
+    PREPARE against the registered views (full value parity runs in
+    check_oracles.py at sf0.01)."""
+    for name, sql in entrymod.oracle_sql().items():
+        try:
+            duck.execute(f"SELECT * FROM ({sql}) LIMIT 0")
+        except Exception as e:  # pragma: no cover - failure is the signal
+            raise AssertionError(f"oracle {name} invalid: {e}") from e
