@@ -255,3 +255,48 @@ def test_search_wildcard_terms(spark, pipe):
     plain = search(routed, "booking", limit=200).count()
     assert wild.count() >= plain
     assert search(routed, "zzzzqqq*", limit=10).count() == 0
+
+
+def test_cross_day_replay_dedup_through_pipeline(spark, tmp_path):
+    """Job-level monthly upsert: the same message_id ingested on two days
+    of one month keeps only the later day's copy after a multi-day batch;
+    a single-day batch leaves other days untouched."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path)
+    pages = gen_pages(spark, 400, seed=21)
+    dts = sorted(
+        r.dt
+        for r in pages.select(F.date_format("warc_ts", "yyyy-MM-dd").alias("dt"))
+        .distinct()
+        .collect()
+    )
+    # clone day-1 pages into day-2 (same message ids, later ingest day)
+    same_month = [d for d in dts if d[:7] == dts[0][:7]][:2]
+    assert len(same_month) == 2
+    d1 = pages.where(F.date_format("warc_ts", "yyyy-MM-dd") == same_month[0])
+    clone = d1.withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 DAY")
+    )
+    rest = pages.where(F.date_format("warc_ts", "yyyy-MM-dd") != same_month[1])
+    write_pages_partitioned(rest.unionByName(clone), f"{base}/pages")
+
+    res = run_pipeline(spark, f"{base}/pages", f"{base}/out", run_id="replay")
+    routed = read_sink(spark, f"{base}/out/routed").where("sink != 'quarantine'")
+    dup = (
+        routed.groupBy("sink", "month", "message_id")
+        .count()
+        .where("count > 1")
+        .count()
+    )
+    assert dup == 0  # cross-day copies collapsed
+    # the surviving copy of each duplicated id is the LATER ingest day
+    survivors = {
+        r.dt
+        for r in routed.join(
+            spark.createDataFrame([(m,) for m in [same_month[1]]], "dt string"),
+            on="dt",
+        ).select("dt").distinct().collect()
+    }
+    assert survivors == {same_month[1]}
+    assert res.rows_in > 0
