@@ -172,3 +172,41 @@ def test_ivf_build_and_probe(spark, emb, query_vec, tmp_path):
     assert n_lists == 8  # probe reads 2 of them (partition pruning)
     cand = spark.read.parquet(path).where(F.col("list_id").isin([0, 1])).count()
     assert cand < emb.count()
+
+
+def test_hyperplane_bucket_matches_independent_reference(spark, emb):
+    """Blind verification of the LSH bucket: recompute the hyperplane
+    projections and sign-bit packing from first principles with the
+    pure-Python XXH64 reference and require equality with the Spark
+    expression — completes the engine-independent story for the rows-only
+    ANN queries (minhash/simhash covered in tests/test_dedup.py)."""
+    from logprocessor_spark.operators.similarity import hyperplane_bucket
+
+    from .xxh64_ref import I32, spark_xxhash64
+
+    sample = emb.orderBy("vec_id").limit(8).select("vec_id", "embedding").collect()
+    dim = len(sample[0].embedding)
+    got = {
+        r.vec_id: r.b
+        for r in emb.orderBy("vec_id").limit(8)
+        .select(
+            "vec_id",
+            hyperplane_bucket(F.col("embedding"), dim, 8, 42).alias("b"),
+        )
+        .collect()
+    }
+
+    def plane_component(p, j, seed=42):
+        h = spark_xxhash64(I32(p), I32(j), I32(seed))
+        return (h % 2_000_001 - 1_000_000) / 1_000_000.0
+
+    for row in sample:
+        vec = [float(x) for x in row.embedding]
+        bucket = 0
+        for p in range(8):
+            proj = 0.0
+            for j in range(dim):  # same j order as the Spark aggregate
+                proj += vec[j] * plane_component(p, j)
+            if proj > 0:
+                bucket |= 1 << p
+        assert got[row.vec_id] == bucket, row.vec_id
