@@ -821,6 +821,42 @@ FROM e
 """
 
 
+def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span detection — the substring-level
+    primitive behind train-set decontamination and fine-grained dedup:
+    a 64-char window whose fingerprint appears in more than one document
+    is a shared span. Shuffle key is the 16-byte fingerprint, never the
+    text; output is (fp, n_docs, min_doc_id) per shared span."""
+    from .functions.textstats import rolling_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    spans = d.select(
+        "doc_id", F.explode(rolling_fingerprints(F.col("text"))).alias("fp")
+    ).dropDuplicates(["doc_id", "fp"])
+    return (
+        spans.groupBy("fp")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+SQL_DUPLICATED_SPANS = """
+WITH r AS (
+  SELECT doc_id, text, range(1, greatest(length(text)-63, 1)+1, 32) AS starts
+  FROM documents
+), e AS (
+  SELECT DISTINCT doc_id,
+         md5(substring(text, CAST(unnest(starts) AS INT), 64)) AS fp
+  FROM r
+)
+SELECT fp, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS min_doc_id
+FROM e GROUP BY fp HAVING count(DISTINCT doc_id) > 1
+"""
+
+
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score (C4/Gopher-style cheap filters)."""
     d = _t(spark, sf_dir, "documents")
@@ -1212,6 +1248,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id_counts": q_lang_id_counts,
     "quality_scores": q_quality_scores,
     "rolling_fingerprints": q_rolling_fingerprints,
+    "duplicated_spans": q_duplicated_spans,
     "cosine_topk": q_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "knn_join": q_knn_join,
@@ -1257,6 +1294,7 @@ ORACLES: dict[str, str] = {
     "lang_id_counts": SQL_LANG_ID_COUNTS,
     "quality_scores": SQL_QUALITY_SCORES,
     "rolling_fingerprints": SQL_ROLLING_FINGERPRINTS,
+    "duplicated_spans": SQL_DUPLICATED_SPANS,
     "cosine_topk": SQL_COSINE_TOPK,
     "knn_join": SQL_KNN_JOIN,
     "near_dup_embeddings": SQL_NEAR_DUP_EMBEDDINGS,
