@@ -857,6 +857,43 @@ FROM e GROUP BY fp HAVING count(DISTINCT doc_id) > 1
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-set decontamination: flag 'training' documents sharing any
+    64-char span with a 'benchmark' holdout (every 50th doc here). Span
+    fingerprints of the (small) benchmark side broadcast; the training
+    side never shuffles its text — a left-semi join on the 16-byte fp.
+    Returns the contaminated doc ids."""
+    from .functions.textstats import rolling_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 50 == 0)
+    train = d.where(F.col("doc_id") % 50 != 0)
+    bench_fps = bench.select(
+        F.explode(rolling_fingerprints(F.col("text"))).alias("fp")
+    ).distinct()
+    train_fps = train.select(
+        "doc_id", F.explode(rolling_fingerprints(F.col("text"))).alias("fp")
+    )
+    return (
+        train_fps.join(F.broadcast(bench_fps), on="fp", how="leftsemi")
+        .select("doc_id")
+        .distinct()
+    )
+
+
+SQL_DECONTAMINATE = """
+WITH spans AS (
+  SELECT doc_id,
+         md5(substring(text, CAST(unnest(range(1, greatest(length(text)-63, 1)+1, 32)) AS INT), 64)) AS fp
+  FROM documents
+)
+SELECT DISTINCT t.doc_id
+FROM spans t
+WHERE t.doc_id % 50 <> 0
+  AND t.fp IN (SELECT fp FROM spans WHERE doc_id % 50 = 0)
+"""
+
+
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score (C4/Gopher-style cheap filters)."""
     d = _t(spark, sf_dir, "documents")
@@ -1249,6 +1286,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_scores": q_quality_scores,
     "rolling_fingerprints": q_rolling_fingerprints,
     "duplicated_spans": q_duplicated_spans,
+    "decontaminate": q_decontaminate,
     "cosine_topk": q_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "knn_join": q_knn_join,
@@ -1295,6 +1333,7 @@ ORACLES: dict[str, str] = {
     "quality_scores": SQL_QUALITY_SCORES,
     "rolling_fingerprints": SQL_ROLLING_FINGERPRINTS,
     "duplicated_spans": SQL_DUPLICATED_SPANS,
+    "decontaminate": SQL_DECONTAMINATE,
     "cosine_topk": SQL_COSINE_TOPK,
     "knn_join": SQL_KNN_JOIN,
     "near_dup_embeddings": SQL_NEAR_DUP_EMBEDDINGS,
