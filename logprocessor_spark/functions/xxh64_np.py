@@ -6,8 +6,10 @@ lambdas) interpreted — they are excluded from whole-stage codegen — so
 the signature fold ``min_i xxhash64(shingle, i)`` costs ~200 ns per hash
 eval and dominates the minhash dedup wall. The same arithmetic runs here
 as a handful of numpy vector ops over an entire Arrow batch, bit-equal
-to Spark's ``xxhash64`` (asserted in tests against both the Spark
-expression and the scalar reference in tests/xxh64_ref.py).
+to Spark's ``xxhash64`` (asserted directly in
+tests/test_dedup.py::test_arrow_signature_bit_equals_expression_and_reference
+against both the Spark expression path and the scalar reference in
+tests/xxh64_ref.py).
 
 Spark's ``xxhash64(col_long, lit_int)`` chains two fixed-width lanes:
 ``h = hashLong(value, seed=42)`` then ``h = hashInt(i, h)`` — both are
@@ -54,10 +56,11 @@ def hash_long(values: np.ndarray, seed) -> np.ndarray:
 def hash_int(value: int, seeds: np.ndarray) -> np.ndarray:
     """XXH64.hashInt of one int32 ``value`` under an ARRAY of seeds
     (Spark int-input lane; the chained-seed direction minhash needs)."""
-    h = np.asarray(seeds, dtype=np.uint64) + _P5 + np.uint64(4)
-    h = h ^ (np.uint64(value & 0xFFFFFFFF) * _P1)
-    h = _rotl(h, 23) * _P2 + _P3
-    return _avalanche(h)
+    with np.errstate(over="ignore"):  # uint64 wrap-around is the point
+        h = np.asarray(seeds, dtype=np.uint64) + _P5 + np.uint64(4)
+        h = h ^ (np.uint64(value & 0xFFFFFFFF) * _P1)
+        h = _rotl(h, 23) * _P2 + _P3
+        return _avalanche(h)
 
 
 def minhash_signatures_batch(

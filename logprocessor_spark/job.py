@@ -62,16 +62,23 @@ def _chunks(xs: list, k: int):
 _Stat = __import__("collections").namedtuple("_Stat", ["dt", "sink", "n"])
 
 
-def _committed_counts(spark: SparkSession, path: str, batch: set) -> list:
+def _committed_counts(
+    spark: SparkSession, path: str, batch: set, force_remote: bool = False
+) -> list:
     """Per-(dt, sink) committed row counts for the written sink tree.
 
     Local filesystems: walk the Hive layout driver-side and sum parquet
     footer ``num_rows`` — zero Spark jobs, zero data pages (an Iceberg
     catalog would serve this from the partitions metadata table).
-    Remote filesystems: fall back to a partition-pruned count job."""
-    if "://" in path and not path.startswith("file:"):
+    Remote filesystems: fall back to a partition-pruned count job
+    (``force_remote`` exists so tests exercise that branch on local paths)."""
+    if force_remote or ("://" in path and not path.startswith("file:")):
+        # Hive partition-type inference types dt as DATE; pin to string so
+        # the isin prune matches and ledger/metrics keys stay StringType
+        # (same reason the pages read pins dt at the top of run_pipeline).
         return (
             spark.read.parquet(path)
+            .withColumn("dt", F.col("dt").cast("string"))
             .where(F.col("dt").isin(list(batch)))
             .groupBy("dt", "sink")
             .agg(F.count(F.lit(1)).alias("n"))

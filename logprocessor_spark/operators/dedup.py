@@ -59,14 +59,19 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     sh = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.try_element_at(words, (i + j).cast("int")) for j in range(k)])
     )
-    return F.array_distinct(sh)
+    # NULL text -> NULL shingles (not a degenerate [""] set): null docs
+    # must never pair with each other downstream
+    return F.when(text.isNotNull(), F.array_distinct(sh))
 
 
 def char_ngrams(text: Column, n: int = 5) -> Column:
-    """Distinct character n-grams as array<string>."""
+    """Distinct character n-grams as array<string>; NULL text -> NULL."""
     ln = F.length(text)
     idx = F.sequence(F.lit(1), F.greatest(ln - (n - 1), F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: F.substring(text, i, n)))
+    return F.when(
+        text.isNotNull(),
+        F.array_distinct(F.transform(idx, lambda i: F.substring(text, i, n))),
+    )
 
 
 def word_shingle_hashes(text: Column, k: int = 3) -> Column:
@@ -79,14 +84,19 @@ def word_shingle_hashes(text: Column, k: int = 3) -> Column:
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     # try_element_at: NULL past the end (ANSI-safe for docs with < k words);
     # Spark's xxhash64 treats a NULL input as a no-op on the accumulator, so
-    # a short doc yields one well-defined hash over the words it has.
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.xxhash64(
-                *[F.try_element_at(words, (i + j).cast("int")) for j in range(k)]
-            ),
-        )
+    # a short doc yields one well-defined hash over the words it has. NULL
+    # text must yield NULL (an all-NULL tuple would hash to the bare seed,
+    # colliding every null doc into one "identical" group).
+    return F.when(
+        text.isNotNull(),
+        F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.xxhash64(
+                    *[F.try_element_at(words, (i + j).cast("int")) for j in range(k)]
+                ),
+            )
+        ),
     )
 
 
@@ -133,8 +143,17 @@ def minhash_signature_arrow(shingles: Column, num_hashes: int = 32) -> Column:
     from ..functions.xxh64_np import minhash_signatures_batch
 
     def _sig(s):
-        mat = minhash_signatures_batch(list(s), num_hashes)
-        return pd.Series(list(mat))
+        # NULL text -> NULL shingle array arrives here as None (empty is
+        # impossible from shingling but guarded the same way): emit a NULL
+        # signature, matching the expression path's NULL propagation — one
+        # null doc must degrade to one dropped row, never a task failure.
+        valid = [x for x in s if x is not None and len(x) > 0]
+        sigs = iter(minhash_signatures_batch(valid, num_hashes)) if valid else iter(())
+        return pd.Series(
+            [next(sigs) if (x is not None and len(x) > 0) else None for x in s],
+            index=s.index,
+            dtype=object,
+        )
 
     # annotations set explicitly: `from __future__ import annotations`
     # stringifies inline hints, which pandas_udf can't resolve here
@@ -168,7 +187,14 @@ def _banded_candidate_pairs(base: DataFrame, bands: int, r: int) -> DataFrame:
     garbage collected. At cluster scale the same role is played by
     stage-writing the base (or just the 24 B/row banded table) to storage
     between candidate generation and verification."""
-    base = base.persist()
+    # NULL docs (null text -> null shingles -> null signature, on both the
+    # expression and Arrow paths) cannot be near-duplicates of anything;
+    # dropping them HERE keeps them out of the band join, where a null
+    # signature would otherwise hash every band to the seed constant and
+    # collide all null docs into one n^2 candidate bucket.
+    base = base.where(
+        F.col("__sh").isNotNull() & F.col("__sig").isNotNull()
+    ).persist()
     banded = base.select(
         "__id",
         F.explode(
@@ -262,7 +288,9 @@ def simhash(text: Column, bits: int = 64) -> Column:
         packed = packed + F.when(
             F.element_at(bit_votes, b + 1) > 0, F.lit(weight).cast("long")
         ).otherwise(F.lit(0).cast("long"))
-    return packed
+    # NULL text -> NULL fingerprint (otherwise every null doc packs to 0
+    # and all of them pair up at hamming distance 0)
+    return F.when(text.isNotNull(), packed)
 
 
 def simhash_candidates(
@@ -274,9 +302,11 @@ def simhash_candidates(
     # persist: __sh (a 64-step HOF aggregate) feeds both self-join sides —
     # un-materialized it would be recomputed per side (see
     # _banded_candidate_pairs docstring for the full recompute story)
-    base = df.select(
-        F.col(id_col).alias("__id"), simhash(F.col(text_col)).alias("__sh")
-    ).persist()
+    base = (
+        df.select(F.col(id_col).alias("__id"), simhash(F.col(text_col)).alias("__sh"))
+        .where(F.col("__sh").isNotNull())  # null docs pair with nothing
+        .persist()
+    )
     chunks = base.select(
         "__id",
         "__sh",

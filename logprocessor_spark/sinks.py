@@ -75,6 +75,10 @@ def write_fanout(
     )
     (
         cleaned.write.mode("overwrite")
+        # self-contained: per-write override so replay only replaces the
+        # partitions this batch produced even under a vanilla SparkSession
+        # (session default `static` would wipe every other day's output)
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy(*PARTITION_COLS)
         .parquet(path)
     )
@@ -98,7 +102,9 @@ def reconcile_cross_day_dupes(
     exist, only the affected day-partitions are rewritten via dynamic
     overwrite (localCheckpoint breaks the read-own-output cycle on a
     row set that is rare-case small). Returns #rows removed."""
-    sunk = spark.read.parquet(path)
+    # pin dt to string: Hive partition-type inference yields DATE, which
+    # would break the isin prune below and change the rewrite's dir names
+    sunk = spark.read.parquet(path).withColumn("dt", F.col("dt").cast("string"))
     if dts is not None:
         # a duplicate pair must have BOTH copies inside the batch that was
         # just written (earlier days are committed and out of scope), so
@@ -145,6 +151,11 @@ def reconcile_cross_day_dupes(
     (
         keep.repartition(*[F.col(c) for c in PARTITION_COLS])
         .write.mode("overwrite")
+        # per-write dynamic overwrite: without it a caller whose session
+        # runs Spark's default static mode would have this rare-path
+        # rewrite DELETE every partition of the table and keep only the
+        # affected-partition survivors — silent data loss
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy(*PARTITION_COLS)
         .parquet(path)
     )

@@ -109,12 +109,15 @@ def stream_dedup(
 def running_user_stats(
     events_stream: DataFrame,
     watermark: str = "1 hour",
+    state_timeout_ms: int = 2 * 3600 * 1000,
 ) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     RUNNING totals emitted on every update — the reference's live
     processed-count atom (processing.clj:36-37) as a streaming operator.
     Arrow-batched (never per-row Python); state is two numbers per user,
-    pruned by processing-time timeout twice the watermark."""
+    evicted by processing-time timeout (default 2 h = twice the default
+    watermark) so memory stays bounded by *active* users, not all users
+    ever seen — the property that matters at 10^9 distinct keys."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -122,11 +125,17 @@ def running_user_stats(
     state_schema = "n long, v double"
 
     def fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            # idle user: drop the running pair; a later event restarts at 0
+            # (the durable totals live in the sink, not in stream state)
+            state.remove()
+            return
         n, v = state.get if state.exists else (0, 0.0)
         for pdf in pdf_iter:
             n += len(pdf)
             v += float(pdf["value"].sum())
         state.update((n, v))
+        state.setTimeoutDuration(state_timeout_ms)
         yield pd.DataFrame(
             [{"user_id": key[0], "n_events": n, "total_value": round(v, 2)}]
         )
@@ -139,7 +148,7 @@ def running_user_stats(
             out_schema,
             state_schema,
             "update",
-            GroupStateTimeout.NoTimeout,
+            GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
 

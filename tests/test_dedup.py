@@ -171,3 +171,52 @@ def test_simhash_and_minhash_match_independent_reference(spark, docs):
         assert row.sh == py_simhash(src.text), f"simhash doc {src.doc_id}"
         assert list(row.wsh) == py_shingle_hashes(src.text), f"shingles {src.doc_id}"
         assert list(row.sig) == py_signature(row.wsh), f"signature {src.doc_id}"
+
+
+def test_arrow_signature_bit_equals_expression_and_reference(spark, docs):
+    """The numpy XXH64 kernel (the DEFAULT signature path) must be
+    bit-identical to BOTH the Spark expression path and the scalar
+    tests/xxh64_ref.py reference — not just preserve banding collisions."""
+    from logprocessor_spark.operators.dedup import (
+        minhash_signature,
+        minhash_signature_arrow,
+        word_shingle_hashes,
+    )
+    from .xxh64_ref import I32, MASK, spark_xxhash64, to_i64
+
+    base = docs.orderBy("doc_id").limit(8).select(
+        "doc_id", word_shingle_hashes(F.col("text")).alias("wsh")
+    )
+    rows = (
+        base.withColumn("sig_expr", minhash_signature(F.col("wsh")))
+        .withColumn("sig_arrow", minhash_signature_arrow(F.col("wsh")))
+        .collect()
+    )
+    assert len(rows) == 8
+    for r in rows:
+        assert list(r.sig_arrow) == list(r.sig_expr), f"doc {r.doc_id}"
+        ref = [
+            min(to_i64(spark_xxhash64(s, I32(i)) & MASK) for s in r.wsh)
+            for i in range(32)
+        ]
+        assert list(r.sig_arrow) == ref, f"doc {r.doc_id} vs scalar reference"
+
+
+def test_null_text_degrades_not_crashes(spark):
+    """A NULL text row must yield a NULL signature on the Arrow path (the
+    expression path's semantics) and be dropped from pair generation —
+    never a task-killing TypeError in the numpy kernel."""
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "the same repeated doc body here"),
+         (4, "the same repeated doc body here")],
+        "doc_id long, text string",
+    )
+    for arrow in (True, False):
+        pairs = minhash_lsh_dedup(df, threshold=0.8, arrow_signature=arrow)
+        got = {(r.id_a, r.id_b) for r in pairs.collect()}
+        assert got == {(3, 4)}, f"arrow_signature={arrow}"
+    # same null semantics on the simhash and char-ngram paths
+    assert {(r.id_a, r.id_b) for r in simhash_candidates(df).collect()} == {(3, 4)}
+    assert {
+        (r.id_a, r.id_b) for r in ngram_jaccard_pairs(df, threshold=0.8).collect()
+    } == {(3, 4)}

@@ -300,3 +300,30 @@ def test_cross_day_replay_dedup_through_pipeline(spark, tmp_path):
     }
     assert survivors == {same_month[1]}
     assert res.rows_in > 0
+
+
+def test_committed_counts_remote_branch_pins_dt_to_string(spark, pipe):
+    """The remote-FS fallback of _committed_counts must yield the same
+    (dt, sink, n) stats as the footer-sum path, with dt as STRING — Hive
+    partition-type inference types the read-back dt as DATE, which would
+    miss every ledger key and break METRICS_SCHEMA's StringType column."""
+    from logprocessor_spark.job import _committed_counts
+
+    base, _ = pipe
+    path = f"{base}/out/routed"
+    batch = {
+        d.split("=", 1)[1]
+        for d in __import__("subprocess").run(
+            ["find", path, "-maxdepth", "3", "-name", "dt=*"],
+            capture_output=True, text=True,
+        ).stdout.split()
+        if "dt=" in d
+    }
+    batch = {p[p.index("dt=") + 3:] for p in batch}
+    local = {(r.dt, r.sink): r.n for r in _committed_counts(spark, path, batch)}
+    remote = {
+        (r.dt, r.sink): r.n
+        for r in _committed_counts(spark, path, batch, force_remote=True)
+    }
+    assert remote == local and len(remote) > 0
+    assert all(isinstance(k[0], str) for k in remote)
