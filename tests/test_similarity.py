@@ -210,3 +210,19 @@ def test_hyperplane_bucket_matches_independent_reference(spark, emb):
             if proj > 0:
                 bucket |= 1 << p
         assert got[row.vec_id] == bucket, row.vec_id
+
+
+def test_allpairs_guard_refuses_at_scale(spark):
+    """The exact all-pairs verification twin must fail fast above the row
+    limit instead of materializing an n^2 BroadcastNestedLoopJoin."""
+    import pytest
+
+    from logprocessor_spark.harness import (
+        ALLPAIRS_ROW_LIMIT,
+        assert_small_for_allpairs,
+    )
+
+    big = spark.range(0, ALLPAIRS_ROW_LIMIT + 1)
+    with pytest.raises(ValueError, match="all-pairs"):
+        assert_small_for_allpairs(big, "guard-test")
+    assert_small_for_allpairs(spark.range(0, 10), "guard-test")  # small: fine

@@ -56,3 +56,21 @@ def test_ingest_raw_dir_to_pipeline_e2e(spark, tmp_path):
     routed = read_sink(spark, str(tmp_path / "out" / "routed"))
     ids = {r.message_id for r in routed.where("sink != 'quarantine'").collect()}
     assert ids == {"raw-a", "raw-b", "raw-c", "zip-1", "zip-2"}
+
+
+def test_ingest_count_reads_zero_not_a_second_scan(spark, tmp_path):
+    """The committed-count after ingest must come from parquet footers —
+    zero Spark jobs — not a full re-read of everything just written."""
+    from logprocessor_spark.sources import _footer_row_count
+
+    raw = _make_raw_dir(tmp_path)
+    pages_path = str(tmp_path / "pages")
+    n = ingest_raw_dir(spark, raw, pages_path)
+    spark.sparkContext.setJobGroup("footercount", "must stay empty")
+    try:
+        n2 = _footer_row_count(pages_path)
+        jobs = spark.sparkContext.statusTracker().getJobIdsForGroup("footercount")
+    finally:
+        spark.sparkContext.setJobGroup(None, None)
+    assert list(jobs) == []  # no Spark job ran for the count
+    assert n == n2 == spark.read.parquet(pages_path).count() == 7

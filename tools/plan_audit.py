@@ -176,6 +176,39 @@ def main() -> None:
     )
     shutil.rmtree(out, ignore_errors=True)
 
+    # sweep: NO registered query may compile to an unguarded cartesian /
+    # BroadcastNestedLoopJoin plan. Two deliberate exceptions:
+    #  - near_dup_embeddings: the all-pairs verification twin, count-guarded
+    #    (fails fast above ALLPAIRS_ROW_LIMIT — asserted right below);
+    #  - knn_join: small-Q broadcast crossJoin by design — the corpus side
+    #    never shuffles, which IS the 100 TB shape for tiny query sets.
+    import logprocessor_spark.harness as H
+
+    allowed_bnlj = {"near_dup_embeddings", "knn_join"}
+    offenders = []
+    for qname, qfn in H.QUERIES.items():
+        try:
+            qp = plan_of(qfn(spark, sf_dir))
+        except Exception as ex:  # a query that won't even plan is a failure
+            offenders.append(f"{qname}:{type(ex).__name__}")
+            continue
+        if ("CartesianProduct" in qp or "BroadcastNestedLoopJoin" in qp) and (
+            qname not in allowed_bnlj
+        ):
+            offenders.append(qname)
+    check(
+        "sweep: no unguarded cartesian/BNLJ in any registered query",
+        not offenders,
+        ",".join(offenders)[:100],
+    )
+    big = spark.range(0, H.ALLPAIRS_ROW_LIMIT + 1)
+    try:
+        H.assert_small_for_allpairs(big, "sweep")
+        guard_trips = False
+    except ValueError:
+        guard_trips = True
+    check("all-pairs twin: count guard trips above the row limit", guard_trips)
+
     n_fail = sum(1 for _, ok, _ in CHECKS if not ok)
     with open("BENCH/PLANS.md", "w") as f:
         f.write("# Physical-plan audit (tools/plan_audit.py)\n\n")
