@@ -718,6 +718,52 @@ SQL_DEDUP_MINHASH_PAIRS = _sql_jaccard_pairs(
     0.8,
 )
 
+def q_dedup_minhash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup survivor selection: LSH pairs -> connected components ->
+    (doc_id, keeper_id) per doc in the pair graph; a doc survives iff
+    keeper_id == doc_id. This is the reference's ``_id``-upsert collapse
+    (es.clj:102-103) generalized to fuzzy identity. The oracle recomputes
+    the SAME components with a DuckDB recursive CTE over the exact-Jaccard
+    pair set (itself hash-verified by ``dedup_minhash_pairs``)."""
+    from .operators.dedup import resolve_dup_clusters
+
+    pairs = minhash_lsh_dedup(_docs_with_dupes(spark, sf_dir), threshold=0.8)
+    return resolve_dup_clusters(pairs).orderBy("doc_id")
+
+
+SQL_DEDUP_MINHASH_KEEP = r"""
+WITH RECURSIVE dd AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 100000, text FROM documents
+), w AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS wd FROM dd
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(wd) >= 3
+         THEN list_distinct(list_transform(range(1, len(wd)-1),
+                i -> wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2]))
+         ELSE [array_to_string(wd, ' ')] END AS s
+  FROM w
+), pr AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS la, len(b.s) AS lb
+  FROM sh a JOIN sh b
+    ON a.doc_id < b.doc_id
+   AND least(len(a.s), len(b.s))::DOUBLE / greatest(len(a.s), len(b.s)) >= 0.8
+), p AS (
+  SELECT id_a, id_b FROM pr WHERE inter::DOUBLE / (la + lb - inter) >= 0.8
+), e AS (
+  SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p
+), reach AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src WHERE e.dst <> r.src
+)
+SELECT src AS doc_id, least(src, min(dst)) AS keeper_id
+FROM reach GROUP BY src ORDER BY doc_id
+"""
+
+
 SQL_DEDUP_NGRAM_PAIRS = _sql_jaccard_pairs(
     """sh AS (
   SELECT doc_id,
@@ -1298,6 +1344,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_keep": q_dedup_exact_keep,
     "dedup_exact_groups": q_dedup_exact_groups,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "dedup_minhash_keep": q_dedup_minhash_keep,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_ngram_pairs": q_dedup_ngram_pairs,
     "text_stats": q_text_stats,
@@ -1343,6 +1390,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact_keep": SQL_DEDUP_EXACT_KEEP,
     "dedup_exact_groups": SQL_DEDUP_EXACT_GROUPS,
     "dedup_minhash_pairs": SQL_DEDUP_MINHASH_PAIRS,
+    "dedup_minhash_keep": SQL_DEDUP_MINHASH_KEEP,
     "dedup_ngram_pairs": SQL_DEDUP_NGRAM_PAIRS,
     # dedup_simhash_pairs / ann_lsh_topk: xxhash64-based fingerprints are
     # not SQL-expressible — rows-only check here; engine-independent

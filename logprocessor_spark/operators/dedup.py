@@ -262,6 +262,104 @@ def minhash_lsh_dedup(
     )
 
 
+def resolve_dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair set: (doc_id, keeper_id)
+    for every doc appearing in ``pairs``, where keeper_id is the minimum
+    id of the doc's component — the fuzzy generalization of the
+    reference's ``_id`` upsert collapsing identical docs (es.clj:102-103).
+
+    Distributed min-label propagation, no GraphFrames dependency. Each
+    round does (1) a neighbor-min pass — every node takes the min label
+    over itself and its neighbors (equi-join on the edge list, map-side
+    combinable groupBy(min)) — and (2) a pointer-jumping pass
+    (label <- label[label]), which halves the depth of any label chain,
+    so convergence is O(log diameter) rounds, not O(diameter). Real
+    near-dup clusters are near-cliques (diameter 1-2): 2-3 rounds in
+    practice. Each round materializes via localCheckpoint so lineage
+    (and the convergence-check count) stays O(1) per round; at cluster
+    scale the same role is played by checkpointing to storage.
+
+    Shuffle profile per round: edges join labels on a single long key,
+    then a groupBy on the same key — both partial-aggregatable; rows are
+    16-24 bytes. The doc text never enters the computation."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr"))
+        )
+        stepped = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                labels["id"],
+                F.least(labels["label"], F.coalesce(F.col("nbr"), labels["label"])).alias("label"),
+            )
+        )
+        # pointer jumping: follow the label's own label one hop
+        lab2 = stepped.select(F.col("id").alias("pid"), F.col("label").alias("plabel"))
+        jumped = (
+            stepped.join(lab2, stepped["label"] == lab2["pid"], "left")
+            .select(
+                stepped["id"],
+                F.least(
+                    stepped["label"], F.coalesce(F.col("plabel"), stepped["label"])
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("keeper_id"))
+
+
+def near_dup_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    **lsh_kwargs,
+) -> DataFrame:
+    """End-to-end fuzzy dedup: MinHash-LSH pairs -> connected components
+    -> keep exactly one doc (the min id) per near-dup cluster. Returns the
+    surviving rows of ``df``. The anti-join build side is only the LOSERS
+    (docs whose keeper is another doc) — tiny relative to the corpus, so
+    the survivors pass is one broadcast-able anti-join over the full data."""
+    pairs = minhash_lsh_dedup(
+        df, text_col=text_col, id_col=id_col, threshold=threshold, **lsh_kwargs
+    )
+    resolution = resolve_dup_clusters(pairs)
+    losers = resolution.where(F.col("keeper_id") != F.col("doc_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
 def simhash(text: Column, bits: int = 64) -> Column:
     """SimHash fingerprint as a long: bit b is 1 iff the sum over tokens of
     (+1 if bit b of xxhash64(token) else -1) is positive.

@@ -220,3 +220,57 @@ def test_null_text_degrades_not_crashes(spark):
     assert {
         (r.id_a, r.id_b) for r in ngram_jaccard_pairs(df, threshold=0.8).collect()
     } == {(3, 4)}
+
+
+def _union_find_components(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_resolve_dup_clusters_matches_union_find(spark):
+    """Connected components over a graph with a 5-chain (exercises pointer
+    jumping beyond near-clique diameter), a triangle, and a 2-clique must
+    equal a scalar union-find reference."""
+    from logprocessor_spark.operators.dedup import resolve_dup_clusters
+
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (10, 12), (11, 12), (20, 21)]
+    pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {(r.doc_id, r.keeper_id) for r in resolve_dup_clusters(pdf).collect()}
+    want = set(_union_find_components(pairs).items())
+    assert got == want
+    assert {k for _, k in got} == {1, 10, 20}
+
+
+def test_near_dup_dedup_keeps_one_per_cluster(with_dupes):
+    """End-to-end fuzzy dedup: survivors are exactly the min-id member of
+    each pair-graph component; every dropped doc is linked to its cluster
+    by at least one pair with jaccard >= threshold."""
+    from logprocessor_spark.operators.dedup import near_dup_dedup
+
+    tau = 0.5
+    kept = near_dup_dedup(with_dupes, threshold=tau)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    all_ids = {r.doc_id for r in with_dupes.select("doc_id").collect()}
+    pair_rows = minhash_lsh_dedup(with_dupes, threshold=tau).collect()
+    comp = _union_find_components([(r.id_a, r.id_b) for r in pair_rows])
+    expect_dropped = {x for x, root in comp.items() if root != x}
+    assert kept_ids == all_ids - expect_dropped
+    # the 30 exact copies are always dropped; their originals survive
+    assert kept_ids.isdisjoint(set(range(10_000, 10_030)))
+    assert set(range(30)) <= kept_ids
+    # every dropped doc has >= 1 incident pair at/above the threshold
+    incident = {r.id_a for r in pair_rows} | {r.id_b for r in pair_rows}
+    assert expect_dropped <= incident
+    assert all(r.jaccard_sim >= tau for r in pair_rows)
