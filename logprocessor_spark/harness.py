@@ -419,6 +419,57 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact x fact SHUFFLE join (TPC-H Q3 shape): customer ⋈ orders ⋈
+    lineitem with ``hint("merge")`` pinning SortMergeJoin on every join —
+    the plan a 100 TB orders⋈lineitem takes, where neither side fits a
+    broadcast. AQE still coalesces/skew-splits the shuffle partitions at
+    runtime; the plan-audit asserts the SMJ shape. This closes the one
+    join regime (SURVEY §2d note) no other registered query exercises:
+    every other join broadcasts a dim or semi/anti-joins a small build
+    side."""
+    cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    j = li.hint("merge").join(
+        o.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey")
+    ).join(c.hint("merge"), F.col("o_custkey") == F.col("c_custkey"))
+    return (
+        j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            _r2(
+                F.sum(
+                    _dec("l_extendedprice")
+                    * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+                )
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+SQL_TPCH_Q3 = """
+SELECT l_orderkey,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+  o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
 def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1+O2: top-k = TakeOrderedAndProject (no global sort)."""
     o = _t(spark, sf_dir, "orders")
@@ -1331,6 +1382,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "log_enrich_geo": q_log_enrich_geo,
     "log_point_lookup": q_log_point_lookup,
     "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
     "topk_orders": q_topk_orders,
     "join_enrich_region": q_join_enrich_region,
     "anti_join_customers": q_anti_join_customers,
@@ -1377,6 +1429,7 @@ ORACLES: dict[str, str] = {
     "log_enrich_geo": SQL_LOG_ENRICH_GEO,
     "log_point_lookup": SQL_LOG_POINT_LOOKUP,
     "tpch_q1": SQL_TPCH_Q1,
+    "tpch_q3": SQL_TPCH_Q3,
     "topk_orders": SQL_TOPK_ORDERS,
     "join_enrich_region": SQL_JOIN_ENRICH_REGION,
     "anti_join_customers": SQL_ANTI_JOIN_CUSTOMERS,

@@ -71,6 +71,15 @@ def main() -> None:
         p.count("BroadcastHashJoin") == 2 and "SortMergeJoin" not in p,
     )
 
+    # fact x fact: the shuffle-join regime — SortMergeJoin on both joins,
+    # nothing broadcast (the 100 TB customer⋈orders⋈lineitem shape)
+    p = plan_of(harness.q_tpch_q3(spark, sf_dir))
+    check(
+        "tpch_q3: fact x fact SortMergeJoin (no broadcast)",
+        p.count("SortMergeJoin") == 2 and "BroadcastHashJoin" not in p,
+        f"smj={p.count('SortMergeJoin')}",
+    )
+
     # semi/anti compile to the dedicated join types
     p = plan_of(harness.q_semi_join_suppliers(spark, sf_dir))
     check("semi_join: LeftSemi", "LeftSemi" in p)
