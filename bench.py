@@ -43,11 +43,13 @@ HEADLINE = [
     "log_route_counts",     # route + per-sink aggregate (north_rule gate)
     "log_enrich_geo",       # broadcast enrich (J1)
     "tpch_q1",              # wide aggregate
+    "tpch_q3",              # fact x fact SortMergeJoin (shuffle-join regime)
     "join_enrich_region",   # multi-dim broadcast join
     "window_top3_orders",   # window function
     "events_hourly",        # tumbling-window agg
     "dedup_exact_keep",     # exact dedup
     "dedup_minhash_pairs",  # MinHash+LSH near-dup
+    "dedup_minhash_keep",   # pairs -> connected components -> survivors
     "cosine_topk",          # brute-force ANN baseline
     "ann_lsh_topk",         # LSH ANN
     "near_dup_embeddings_lsh",  # banded-LSH embedding near-dup (scale path)

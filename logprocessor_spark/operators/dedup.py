@@ -74,21 +74,31 @@ def char_ngrams(text: Column, n: int = 5) -> Column:
     )
 
 
-def word_shingle_hashes(text: Column, k: int = 3) -> Column:
-    """Distinct word k-gram shingles as array<long> — hashed directly from
-    the word tuple (``xxhash64(w1..wk)``), never materializing the shingle
-    string. At 10^9 docs the string-concat path allocates ~100 bytes per
-    shingle; this allocates none."""
-    words = F.split(F.trim(F.lower(text)), r"\s+")
+def split_words(text: Column) -> Column:
+    """Lower-cased whitespace tokenization; NULL text -> NULL array."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def word_shingle_hashes_from(words: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingle hashes (``xxhash64(w1..wk)``) from a
+    word-array column, never materializing the shingle string.
+
+    Performance contract: pass a PRE-BOUND attribute (project the split
+    into its own column first). Spark evaluates HOF lambdas interpreted,
+    re-evaluating every *captured* subexpression per element per reference
+    — a split captured here runs 3x per shingle (measured 13.9 s vs 1.1 s
+    for the sf0.1 signature stage). Catalyst's CollapseProject leaves the
+    two projections separate exactly because the split is non-cheap and
+    multiply-referenced, so the binding survives optimization.
+
+    try_element_at: NULL past the end (ANSI-safe for docs with < k words);
+    xxhash64 skips NULL inputs, so a short doc yields one well-defined
+    hash over the words it has. NULL words -> NULL (an all-NULL tuple
+    would hash to the bare seed, colliding every null doc)."""
     n = F.size(words)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    # try_element_at: NULL past the end (ANSI-safe for docs with < k words);
-    # Spark's xxhash64 treats a NULL input as a no-op on the accumulator, so
-    # a short doc yields one well-defined hash over the words it has. NULL
-    # text must yield NULL (an all-NULL tuple would hash to the bare seed,
-    # colliding every null doc into one "identical" group).
     return F.when(
-        text.isNotNull(),
+        words.isNotNull(),
         F.array_distinct(
             F.transform(
                 idx,
@@ -100,7 +110,27 @@ def word_shingle_hashes(text: Column, k: int = 3) -> Column:
     )
 
 
+def word_shingle_hashes(text: Column, k: int = 3) -> Column:
+    """One-expression convenience form of ``word_shingle_hashes_from``
+    (identical values). Hot paths should use the two-projection form —
+    see its performance contract."""
+    return word_shingle_hashes_from(split_words(text), k)
+
+
 _LONG_MAX = (1 << 63) - 1
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Give the CPU-bound shingle/signature stage enough partitions to use
+    every core: a small-SF corpus read is often 1-2 parquet splits, which
+    would pin the dominant compute to 1-2 tasks (measured: the sf0.1
+    shingle scan ran 2-way on 32 cores, 11.6 s instead of ~1 s). No-op
+    when the source already has >= defaultParallelism partitions — always
+    true for a multi-split cluster read, so at scale this adds nothing."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
@@ -192,20 +222,35 @@ def _banded_candidate_pairs(base: DataFrame, bands: int, r: int) -> DataFrame:
     # dropping them HERE keeps them out of the band join, where a null
     # signature would otherwise hash every band to the seed constant and
     # collide all null docs into one n^2 candidate bucket.
-    base = base.where(
+    #
+    # ORDER MATTERS: persist FIRST, filter on top of the cache. A filter on
+    # __sig below the persist gets pushed through the repartition and the
+    # source union, inlining the full signature UDF + shingle expression
+    # into the (few-task) scan stage and evaluating it twice per row —
+    # measured 8 s of the sf0.1 wall. Above the InMemoryRelation boundary
+    # the filter just reads the cached column.
+    base = base.persist().where(
         F.col("__sh").isNotNull() & F.col("__sig").isNotNull()
-    ).persist()
+    )
+    # band hash: chain the r signature elements straight through xxhash64 —
+    # no slice().cast(string) render (that allocated a formatted string per
+    # row x band; hashing the longs directly is pure arithmetic)
     banded = base.select(
         "__id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.slice(F.col("__sig"), b * r + 1, r).cast("string")
-                    ).alias("bhash"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.try_element_at(F.col("__sig"), F.lit(b * r + i + 1))
+                                for i in range(r)
+                            ]
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("bk"),
     ).select("__id", "bk.band", "bk.bhash")
@@ -250,10 +295,19 @@ def minhash_lsh_dedup(
     no shingle strings are built, and the band join shuffles 24-byte rows."""
     r = num_hashes // bands
     sig_fn = minhash_signature_arrow if arrow_signature else minhash_signature
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        word_shingle_hashes(F.col(text_col), shingle_k).alias("__sh"),
-    ).withColumn("__sig", sig_fn(F.col("__sh"), num_hashes))
+    base = (
+        _spread(df)
+        # two projections: bind the split ONCE per row, then shingle from
+        # the bound attribute (see word_shingle_hashes_from's contract)
+        .select(
+            F.col(id_col).alias("__id"),
+            split_words(F.col(text_col)).alias("__w"),
+        )
+        .select(
+            "__id", word_shingle_hashes_from(F.col("__w"), shingle_k).alias("__sh")
+        )
+        .withColumn("__sig", sig_fn(F.col("__sh"), num_hashes))
+    )
     cand = _banded_candidate_pairs(base, bands, r)
     return (
         cand.withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
@@ -401,9 +455,13 @@ def simhash_candidates(
     # un-materialized it would be recomputed per side (see
     # _banded_candidate_pairs docstring for the full recompute story)
     base = (
-        df.select(F.col(id_col).alias("__id"), simhash(F.col(text_col)).alias("__sh"))
-        .where(F.col("__sh").isNotNull())  # null docs pair with nothing
+        _spread(df)
+        .select(F.col(id_col).alias("__id"), simhash(F.col(text_col)).alias("__sh"))
         .persist()
+        # null docs pair with nothing; filter ABOVE the cache boundary so
+        # pushdown can't inline the 64-bit-vote expression into the scan
+        # (see _banded_candidate_pairs ORDER MATTERS note)
+        .where(F.col("__sh").isNotNull())
     )
     chunks = base.select(
         "__id",
@@ -458,7 +516,7 @@ def ngram_jaccard_pairs(
     """Char-n-gram Jaccard near-dups; candidates via minhash bands over the
     n-gram sets (never all-pairs), verified exactly."""
     sig_fn = minhash_signature_arrow if arrow_signature else minhash_signature
-    base = df.select(
+    base = _spread(df).select(
         F.col(id_col).alias("__id"),
         # hash the n-gram strings once into longs; Jaccard over hashed sets
         # is exact up to 2^-64 collisions and far cheaper to intersect
