@@ -38,11 +38,13 @@ class PipelineResult:
     Count semantics: ``rows_in``/``rows_out``/``sink_counts`` are
     **committed** counts — tallied from a partition-pruned read-back of the
     written sink, *after* in-exchange dedup — not pre-write input counts.
-    After a crash-resume, a (sink, month) combo left by an earlier partial
-    run for the same ``dt`` that the re-run no longer produces survives
-    dynamic partition overwrite and is counted too (an Iceberg
-    ``overwritePartitions`` snapshot would drop it); with deterministic
-    routing this only occurs when routing rules changed between runs."""
+    Replayed ids are collapsed against previously committed days too
+    (committed-scope upsert, latest ``dt`` wins — es.clj:102-104
+    semantics), so counts reflect the post-upsert table. One residual
+    corner: a (sink, month, dt) dir from an earlier run that a re-run no
+    longer produces AT ALL (possible only if routing RULES changed between
+    runs) survives dynamic partition overwrite; id-level duplicates never
+    do."""
 
     run_id: str
     processed_partitions: list[str]
@@ -183,6 +185,7 @@ def run_pipeline(
         result.wall_ms = int((time.time() - t0) * 1000)
         return result
 
+    prior_commits = bool(done)
     for batch in _chunks(pending, group_size or len(pending)):
         src = pages.where(F.col("dt").isin(batch))
         if use_pandas_parse:
@@ -197,14 +200,20 @@ def run_pipeline(
             # X5: fuse row/quarantine counters into the write job itself
             routed = progress.observe_batch(routed, batch_key)
 
-        # single-day batches cannot contain cross-day duplicates — skip
-        # even the reconcile scan; multi-day batches prune it to their days
+        # dedup scope: within a multi-day batch AND — once anything is
+        # already committed (earlier batch or earlier run) — against the
+        # committed days of this batch's (sink, month) combos: the monthly
+        # ``_id``-upsert collapses replayed ids across runs (es.clj:102-104).
+        # A first single-batch run skips even the reconcile scan: nothing
+        # committed, no cross-day dupes possible outside the batch itself.
         write_fanout(
             routed,
             f"{out_dir}/routed",
-            cross_day_dedup=len(batch) > 1,
+            cross_day_dedup=len(batch) > 1 or prior_commits,
             batch_dts=batch,
+            committed_scope=prior_commits,
         )
+        prior_commits = True
 
         # count what was COMMITTED: parquet footer row counts per written
         # (sink, month, dt) directory — no data pages, and on a local FS no

@@ -38,14 +38,16 @@ def write_fanout(
     dedup_key: str = "message_id",
     cross_day_dedup: bool = True,
     batch_dts: list[str] | None = None,
+    committed_scope: bool = False,
 ) -> None:
     """Fan-out write of routed rows (must carry sink/month/dt) with
     **(sink, month)**-scoped dedup — the reference's monthly-index
     ``_id``-upsert scope (es.clj:102-104): a duplicate id arriving under a
     different ingest day of the same month is collapsed, latest ``dt`` wins
-    (upsert = last write wins). Scope is within the batch; collapsing a
-    duplicate against a *previously committed* day would be a read-merge
-    (Iceberg ``MERGE INTO``) — documented environment debt.
+    (upsert = last write wins). With ``committed_scope=True`` the collapse
+    also runs against *previously committed* days of the batch's
+    (sink, month) combos — full upsert semantics against everything
+    already in the sink, the Parquet stand-in for Iceberg ``MERGE INTO``.
 
     Execution shape — wide rows move through exactly ONE exchange:
 
@@ -83,7 +85,13 @@ def write_fanout(
         .parquet(path)
     )
     if cross_day_dedup:
-        reconcile_cross_day_dupes(routed.sparkSession, path, dedup_key, dts=batch_dts)
+        reconcile_cross_day_dupes(
+            routed.sparkSession,
+            path,
+            dedup_key,
+            dts=batch_dts,
+            committed_scope=committed_scope,
+        )
 
 
 def reconcile_cross_day_dupes(
@@ -91,9 +99,24 @@ def reconcile_cross_day_dupes(
     path: str,
     dedup_key: str = "message_id",
     dts: list[str] | None = None,
+    committed_scope: bool = False,
 ) -> int:
     """Collapse duplicate ids that landed under DIFFERENT ingest days of
     the same (sink, month) — the cross-day half of the monthly upsert.
+
+    Scope:
+    * batch (default): both copies must be inside ``dts`` — the detection
+      scan partition-prunes to the batch's days.
+    * committed (``committed_scope=True``): a batch copy also collapses
+      against any PREVIOUSLY COMMITTED day of the batch's (sink, month)
+      combos — the reference's ES upsert dedupes against everything
+      already indexed (es.clj:102-104). The scan widens only to the
+      affected months: combos come from the batch days' partition values
+      (no data pages), then the detection prunes on (sink, month).
+      Latest ``dt`` still wins, so a replayed id keeps the newer copy and
+      the older committed day's partition is rewritten. Per-day ledger
+      counts recorded by the earlier run become historical, not current
+      — exactly an upsert's bookkeeping.
 
     Works off the *written* table, so the detection scan reads only the
     pruned (sink, month, dt, key) columns — three of them partition values
@@ -106,10 +129,22 @@ def reconcile_cross_day_dupes(
     # would break the isin prune below and change the rewrite's dir names
     sunk = spark.read.parquet(path).withColumn("dt", F.col("dt").cast("string"))
     if dts is not None:
-        # a duplicate pair must have BOTH copies inside the batch that was
-        # just written (earlier days are committed and out of scope), so
-        # the detection scan partition-prunes to the batch's days
-        sunk = sunk.where(F.col("dt").isin(dts))
+        batch_scan = sunk.where(F.col("dt").isin(dts))
+        if committed_scope:
+            # (sink, month) combos touched by the batch: partition values
+            # only — this collect reads zero data pages
+            combos = [
+                (r.sink, r.month)
+                for r in batch_scan.select("sink", "month").distinct().collect()
+            ]
+            if not combos:
+                return 0
+            sm = F.struct("sink", "month")
+            sunk = sunk.where(
+                sm.isin([F.struct(F.lit(s), F.lit(m)) for s, m in combos])
+            )
+        else:
+            sunk = batch_scan
     narrow = sunk.select("sink", "month", "dt", dedup_key)
     losers = (
         narrow.where(F.col(dedup_key).isNotNull())

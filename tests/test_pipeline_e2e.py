@@ -302,6 +302,58 @@ def test_cross_day_replay_dedup_through_pipeline(spark, tmp_path):
     assert res.rows_in > 0
 
 
+def test_committed_scope_upsert_across_runs(spark, tmp_path):
+    """Full upsert semantics (es.clj:102-104): run A commits day 1; run B
+    later processes day 2 carrying a day-1 message_id. The replayed id must
+    end with exactly ONE survivor — the day-2 copy (latest dt wins) — even
+    though day 1 was committed by a different run."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path)
+    pages = gen_pages(spark, 400, seed=33)
+    dts = sorted(
+        r.dt
+        for r in pages.select(F.date_format("warc_ts", "yyyy-MM-dd").alias("dt"))
+        .distinct()
+        .collect()
+    )
+    same_month = [d for d in dts if d[:7] == dts[0][:7]][:2]
+    assert len(same_month) == 2
+    d1, d2 = same_month
+    d1_pages = pages.where(F.date_format("warc_ts", "yyyy-MM-dd") == d1)
+    # day-2 input = clone of day-1 (same message ids, one day later)
+    clone = d1_pages.withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 DAY"))
+    rest = pages.where(~F.date_format("warc_ts", "yyyy-MM-dd").isin(d1, d2))
+    write_pages_partitioned(d1_pages.unionByName(rest), f"{base}/pages")
+
+    res_a = run_pipeline(spark, f"{base}/pages", f"{base}/out", run_id="runA")
+    assert d1 in res_a.processed_partitions
+
+    # day 2 lands after run A committed
+    write_pages_partitioned(
+        d1_pages.unionByName(rest).unionByName(clone), f"{base}/pages"
+    )
+    res_b = run_pipeline(spark, f"{base}/pages", f"{base}/out", run_id="runB")
+    assert res_b.processed_partitions == [d2]
+    assert d1 in res_b.skipped_partitions  # ledger resume intact
+
+    routed = read_sink(spark, f"{base}/out/routed").where("sink != 'quarantine'")
+    dup = (
+        routed.groupBy("sink", "month", "message_id").count().where("count > 1")
+    )
+    assert dup.count() == 0  # one survivor per replayed id
+    # the survivor of every day-1-replayed id is the day-2 copy
+    d1_ids = {
+        r.message_id
+        for r in routed.select("message_id", "dt").where(F.col("dt") == d1).collect()
+    }
+    d2_ids = {
+        r.message_id
+        for r in routed.where(F.col("dt") == d2).select("message_id").collect()
+    }
+    assert d1_ids.isdisjoint(d2_ids) and len(d2_ids) > 0
+
+
 def test_committed_counts_remote_branch_pins_dt_to_string(spark, pipe):
     """The remote-FS fallback of _committed_counts must yield the same
     (dt, sink, n) stats as the footer-sum path, with dt as STRING — Hive
