@@ -58,6 +58,48 @@ def test_ingest_raw_dir_to_pipeline_e2e(spark, tmp_path):
     assert ids == {"raw-a", "raw-b", "raw-c", "zip-1", "zip-2"}
 
 
+def test_bundled_small_files_ingest(spark, tmp_path):
+    """10k tiny files must ingest through the manifest/bundle reader with
+    task count = #bundles (bounded by total bytes / target, NOT file
+    count), yielding the same pages as the per-file binaryFile path."""
+    from logprocessor_spark.sources import read_raw_pages_bundled
+
+    raw = tmp_path / "many"
+    raw.mkdir()
+    for i in range(10_000):
+        (raw / f"p{i:05d}.html").write_bytes(
+            page_html(message_id=f"tiny-{i}", session_id=f"s-{i % 7}")
+        )
+    # ~23 MB total at ~2.3 KB/file; 8 MB bundles -> 3-4 tasks, never 10k
+    bundled = read_raw_pages_bundled(spark, str(raw), glob="*.html", target_mb=8)
+    n_tasks = bundled.rdd.getNumPartitions()
+    assert n_tasks <= 8, n_tasks
+    rows_b = bundled.select("url", "text").collect()
+    assert len(rows_b) == 10_000
+    naive = read_raw_pages(spark, str(raw), glob="*.html")
+    rows_n = naive.select("url", "text").collect()
+    # same (file, extracted text) set; url schemes differ (file: URI vs path)
+    key = lambda r: (r.url.rsplit("/", 1)[-1], r.text)
+    assert sorted(map(key, rows_b)) == sorted(map(key, rows_n))
+
+
+def test_bundled_reader_tolerates_unreadable_file(spark, tmp_path):
+    import os
+
+    raw = tmp_path / "mix"
+    raw.mkdir()
+    (raw / "ok.html").write_bytes(page_html(message_id="ok-1"))
+    bad = raw / "gone.html"
+    bad.write_bytes(b"x")
+    from logprocessor_spark.sources import read_raw_pages_bundled
+
+    df = read_raw_pages_bundled(spark, str(raw), glob="*.html", target_mb=1)
+    os.unlink(bad)  # vanishes between listing and read
+    rows = {r.url.rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"ok.html", "gone.html"}
+    assert rows["gone.html"].text == ""  # empty body -> quarantined by parse
+
+
 def test_ingest_count_reads_zero_not_a_second_scan(spark, tmp_path):
     """The committed-count after ingest must come from parquet footers —
     zero Spark jobs — not a full re-read of everything just written."""
