@@ -991,6 +991,68 @@ WHERE t.doc_id % 50 <> 0
 """
 
 
+def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination, REMOVAL not just detection: every
+    64-char window of a training doc whose fingerprint appears in the
+    benchmark holdout is excised (overlaps merge), and the doc's remainder
+    survives. Output is per-train-doc (clean_len, clean_fp=md5 of the
+    rebuilt string, n_spans_cut) so the oracle verifies the reconstruction
+    value-for-value by rebuilding the same strings character-wise in SQL."""
+    from .functions.textstats import rolling_fingerprints
+    from .operators.decontam import remove_contaminated_spans
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 50 == 0)
+    train = d.where(F.col("doc_id") % 50 != 0).select("doc_id", "text")
+    bench_fps = bench.select(
+        F.explode(rolling_fingerprints(F.col("text"))).alias("fp")
+    ).distinct()
+    cleaned = remove_contaminated_spans(train, bench_fps)
+    return cleaned.select(
+        "doc_id",
+        F.length("text").cast("int").alias("clean_len"),
+        F.md5(F.encode("text", "UTF-8")).alias("clean_fp"),
+        F.col("n_spans_cut").cast("int").alias("n_spans_cut"),
+    ).orderBy("doc_id")
+
+
+SQL_DECONTAMINATE_SPANS = """
+WITH g AS (
+  SELECT doc_id, text,
+         CAST(unnest(range(1, greatest(length(text)-63, 1)+1, 32)) AS INT) AS s
+  FROM documents
+), f AS (
+  SELECT doc_id, s, md5(substring(text, s, 64)) AS fp FROM g
+), cut AS (
+  SELECT doc_id, s FROM f
+  WHERE doc_id % 50 <> 0
+    AND fp IN (SELECT DISTINCT fp FROM f WHERE doc_id % 50 = 0)
+), chars AS (
+  SELECT doc_id, text, CAST(unnest(range(1, length(text)+1)) AS INT) AS i
+  FROM documents WHERE doc_id % 50 <> 0
+), keepch AS (
+  SELECT c.doc_id, c.i, substring(c.text, c.i, 1) AS ch
+  FROM chars c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cut x
+    WHERE x.doc_id = c.doc_id AND c.i >= x.s AND c.i < x.s + 64
+  )
+), rebuilt AS (
+  SELECT doc_id, string_agg(ch, '' ORDER BY i) AS clean_text
+  FROM keepch GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(length(coalesce(r.clean_text, '')) AS INT) AS clean_len,
+  md5(coalesce(r.clean_text, '')) AS clean_fp,
+  CAST(coalesce(n.n, 0) AS INT) AS n_spans_cut
+FROM documents d
+LEFT JOIN rebuilt r USING (doc_id)
+LEFT JOIN (SELECT doc_id, count(*) AS n FROM cut GROUP BY doc_id) n USING (doc_id)
+WHERE d.doc_id % 50 <> 0
+ORDER BY doc_id
+"""
+
+
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score (C4/Gopher-style cheap filters)."""
     d = _t(spark, sf_dir, "documents")
@@ -1405,6 +1467,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_fingerprints": q_rolling_fingerprints,
     "duplicated_spans": q_duplicated_spans,
     "decontaminate": q_decontaminate,
+    "decontaminate_spans": q_decontaminate_spans,
     "cosine_topk": q_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "knn_join": q_knn_join,
@@ -1454,6 +1517,7 @@ ORACLES: dict[str, str] = {
     "rolling_fingerprints": SQL_ROLLING_FINGERPRINTS,
     "duplicated_spans": SQL_DUPLICATED_SPANS,
     "decontaminate": SQL_DECONTAMINATE,
+    "decontaminate_spans": SQL_DECONTAMINATE_SPANS,
     "cosine_topk": SQL_COSINE_TOPK,
     "knn_join": SQL_KNN_JOIN,
     "near_dup_embeddings": SQL_NEAR_DUP_EMBEDDINGS,

@@ -117,3 +117,58 @@ def test_real_decode_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         decode_image_real(b"\x89PNG")
+
+
+def test_remove_contaminated_spans_golden(spark):
+    """Planted contamination: flagged 64-char windows are excised with
+    overlapping windows merged; clean docs pass through byte-identical."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from logprocessor_spark.operators.decontam import remove_contaminated_spans
+
+    secret = "S" * 150  # spans several stride-32 windows
+    prefix, suffix = "a" * 100, "z" * 40
+    train = spark.createDataFrame(
+        [
+            (1, prefix + secret + suffix),  # contaminated in the middle
+            (2, "completely clean document " * 8),
+            (3, secret),                    # fully contaminated
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(0, secret)], "doc_id long, text string")
+    from logprocessor_spark.operators.decontam import span_grid
+
+    bench_fps = bench.select(
+        F.explode(span_grid(F.col("text"))).alias("sp")
+    ).select("sp.fp").distinct()
+    out = {
+        r.doc_id: (r.text, r.n_spans_cut)
+        for r in remove_contaminated_spans(train, bench_fps).collect()
+    }
+
+    # scalar reference: same grid, same md5, same cut semantics
+    def ref_clean(text):
+        n = len(text)
+        starts = list(range(1, max(n - 63, 1) + 1, 32))
+        bench_set = set()
+        bn = len(secret)
+        for s in range(1, max(bn - 63, 1) + 1, 32):
+            bench_set.add(hashlib.md5(secret[s - 1:s - 1 + 64].encode()).hexdigest())
+        keep = [True] * n
+        ncut = 0
+        for s in starts:
+            fp = hashlib.md5(text[s - 1:s - 1 + 64].encode()).hexdigest()
+            if fp in bench_set:
+                ncut += 1
+                for i in range(s - 1, min(s - 1 + 64, n)):
+                    keep[i] = False
+        return "".join(c for c, k in zip(text, keep) if k), ncut
+
+    for doc_id, text in [(1, prefix + secret + suffix), (2, "completely clean document " * 8), (3, secret)]:
+        want_text, want_cut = ref_clean(text)
+        assert out[doc_id] == (want_text, want_cut), doc_id
+    assert out[2][1] == 0 and out[2][0] == "completely clean document " * 8
+    assert out[3][1] > 0
