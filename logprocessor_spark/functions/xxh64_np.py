@@ -53,14 +53,49 @@ def hash_long(values: np.ndarray, seed) -> np.ndarray:
     return _avalanche(h)
 
 
-def hash_int(value: int, seeds: np.ndarray) -> np.ndarray:
-    """XXH64.hashInt of one int32 ``value`` under an ARRAY of seeds
-    (Spark int-input lane; the chained-seed direction minhash needs)."""
+def hash_int(value, seeds) -> np.ndarray:
+    """XXH64.hashInt: int32 value(s) under seed(s); either side may be a
+    scalar or an array (numpy broadcasting) — the chained-seed direction
+    minhash needs AND the varying-value direction plane derivation needs."""
     with np.errstate(over="ignore"):  # uint64 wrap-around is the point
         h = np.asarray(seeds, dtype=np.uint64) + _P5 + np.uint64(4)
-        h = h ^ (np.uint64(value & 0xFFFFFFFF) * _P1)
+        v = np.asarray(value, dtype=np.int64).astype(np.uint64) & np.uint64(0xFFFFFFFF)
+        h = h ^ (v * _P1)
         h = _rotl(h, 23) * _P2 + _P3
         return _avalanche(h)
+
+
+def simhash_pack_batch(hash_lists: "list[np.ndarray]") -> np.ndarray:
+    """(n_rows ragged token-hash arrays) -> int64 simhash fingerprints,
+    bit-equal to the Spark expression in operators.dedup.simhash: bit b of
+    the output is 1 iff sum over tokens of (+1 if bit b of hash else -1)
+    is positive. Vectorized: one (N_tokens, 64) bit expansion + a
+    segmented sum (``np.add.reduceat``) per batch."""
+    lens = np.fromiter((len(h) for h in hash_lists), dtype=np.int64)
+    if len(lens) == 0:
+        return np.empty(0, dtype=np.int64)
+    flat = (
+        np.concatenate([np.asarray(h, dtype=np.int64) for h in hash_lists])
+        if lens.sum()
+        else np.empty(0, dtype=np.int64)
+    )
+    flat_u = flat.view(np.uint64) if flat.size else flat.astype(np.uint64)
+    bits = ((flat_u[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+        np.int64
+    )
+    votes_flat = 2 * bits - 1  # +1 / -1 per (token, bit)
+    offsets = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=offsets[1:])
+    # reduceat over an empty segment grabs the neighbor — callers guarantee
+    # >= 1 token per row (split always yields >= 1 element; null rows are
+    # handled as None before this kernel)
+    if (lens == 0).any():
+        raise ValueError("empty token set — upstream guarantees >= 1")
+    votes = np.add.reduceat(votes_flat, offsets, axis=0)  # (n_rows, 64)
+    packed_u = ((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+        axis=1, dtype=np.uint64
+    )
+    return packed_u.view(np.int64)
 
 
 def minhash_signatures_batch(

@@ -445,8 +445,36 @@ def simhash(text: Column, bits: int = 64) -> Column:
     return F.when(text.isNotNull(), packed)
 
 
+def simhash_arrow(token_hashes: Column) -> Column:
+    """Arrow fast path for ``simhash``: takes the per-token xxhash64 array
+    (computed JVM-side, one transform over the split) and does the 64-bit
+    vote + pack as numpy segmented ops — bit-equal to the expression path
+    (asserted in tests), ~6x on the fingerprint stage, which is a 64-step
+    interpreted HOF aggregate otherwise. NULL/empty token arrays -> NULL."""
+    import pandas as pd
+    from pyspark.sql.types import LongType
+
+    from ..functions.xxh64_np import simhash_pack_batch
+
+    def _sh(s):
+        valid = [x for x in s if x is not None and len(x) > 0]
+        packed = iter(simhash_pack_batch(valid)) if valid else iter(())
+        return pd.Series(
+            [int(next(packed)) if (x is not None and len(x) > 0) else None for x in s],
+            index=s.index,
+            dtype=object,
+        )
+
+    _sh.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_sh, LongType())(token_hashes)
+
+
 def simhash_candidates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    arrow_fingerprint: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit fingerprint into 4
     16-bit chunks (pigeonhole: hamming<=3 => >=1 chunk identical), bucket
@@ -454,9 +482,16 @@ def simhash_candidates(
     # persist: __sh (a 64-step HOF aggregate) feeds both self-join sides —
     # un-materialized it would be recomputed per side (see
     # _banded_candidate_pairs docstring for the full recompute story)
+    if arrow_fingerprint:
+        # token hashes JVM-side (split is the transform's input — evaluated
+        # once), vote+pack vectorized in the Arrow kernel
+        hashes = F.transform(split_words(F.col(text_col)), lambda t: F.xxhash64(t))
+        fp = simhash_arrow(hashes)
+    else:
+        fp = simhash(F.col(text_col))
     base = (
         _spread(df)
-        .select(F.col(id_col).alias("__id"), simhash(F.col(text_col)).alias("__sh"))
+        .select(F.col(id_col).alias("__id"), fp.alias("__sh"))
         .persist()
         # null docs pair with nothing; filter ABOVE the cache boundary so
         # pushdown can't inline the 64-bit-vote expression into the scan

@@ -41,6 +41,42 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def cosine_arrow(a: Column, b: Column) -> Column:
+    """Arrow fast path for pairwise ``cosine``: per batch, dot and norms
+    accumulate with a vectorized loop in ascending-j order — the SAME
+    double additions in the SAME order as the expression fold, so values
+    are bit-identical (the verify stage feeds a round(6) that two engines
+    must agree on exactly). The interpreted HOF path costs ~2 lambda evals
+    per dimension per ROW; this is dim fused vector ops per BATCH."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType
+
+    def _cos(x, y):
+        import numpy as np
+
+        mask = [u is not None and v is not None for u, v in zip(x, y)]
+        ua = [np.asarray(u, dtype=np.float64) for u, ok in zip(x, mask) if ok]
+        vb = [np.asarray(v, dtype=np.float64) for v, ok in zip(y, mask) if ok]
+        if ua:
+            A, B = np.stack(ua), np.stack(vb)
+            dot = np.zeros(len(A))
+            na = np.zeros(len(A))
+            nb = np.zeros(len(A))
+            for j in range(A.shape[1]):
+                dot += A[:, j] * B[:, j]
+                na += A[:, j] * A[:, j]
+                nb += B[:, j] * B[:, j]
+            vals = iter(dot / (np.sqrt(na) * np.sqrt(nb)))
+        else:
+            vals = iter(())
+        return pd.Series(
+            [float(next(vals)) if ok else None for ok in mask], index=x.index, dtype=object
+        )
+
+    _cos.__annotations__ = {"x": pd.Series, "y": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_cos, DoubleType())(a, b)
+
+
 def cosine_topk(
     emb: DataFrame,
     query_vec: list[float],
@@ -98,6 +134,65 @@ def _plane_component_col(p: Column, j: Column, seed: int) -> Column:
     """Column-typed twin of _plane_component (p as a column)."""
     h = F.xxhash64(p, j, F.lit(seed))
     return (F.pmod(h, F.lit(2_000_001)) - 1_000_000) / 1_000_000.0
+
+
+_PLANES_CACHE: dict = {}
+
+
+def _planes_matrix(dim: int, n_planes: int, seed: int):
+    """(dim, n_planes) float64 plane-component matrix, identical values to
+    ``_plane_component_col``: XXH64 int-lane chain xxhash64(p, j, seed)
+    through the numpy kernel, pmod into [-1, 1). Computed once per
+    (dim, planes, seed) per process — this is the 'planes derived from a
+    seed, nothing broadcast' property kept in the Arrow path."""
+    import numpy as np
+
+    from ..functions.xxh64_np import hash_int
+
+    key = (dim, n_planes, seed)
+    if key not in _PLANES_CACHE:
+        ps = np.arange(n_planes, dtype=np.int64)
+        h1 = hash_int(ps, 42)  # per-plane first lane (seed 42, Spark default)
+        mat = np.empty((dim, n_planes), dtype=np.float64)
+        for j in range(dim):
+            h3 = hash_int(seed, hash_int(j, h1)).view(np.int64)
+            mat[j] = (h3 % 2_000_001 - 1_000_000) / 1_000_000.0
+        _PLANES_CACHE[key] = mat
+    return _PLANES_CACHE[key]
+
+
+def _projections_arrow(vec: Column, dim: int, n_planes: int, seed: int) -> Column:
+    """Arrow fast path for ``_projections``: whole-batch accumulation
+    ``acc += M[:, j] * planes[j]`` in ascending-j order — the SAME double
+    additions in the SAME order as the Spark aggregate fold, so the
+    projections (and therefore every sign bit / bucket) are bit-identical
+    (asserted in tests/test_similarity.py's blind bucket check). The
+    interpreted HOF path evaluates dim x n_planes lambdas per ROW,
+    re-hashing the plane components each time; here the planes matrix is
+    computed once per process and the batch does dim fused vector ops."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    def _proj(s):
+        import numpy as np
+
+        P = _planes_matrix(dim, n_planes, seed)
+        mask = [x is not None and len(x) == dim for x in s]
+        valid = [np.asarray(x, dtype=np.float64) for x, ok in zip(s, mask) if ok]
+        if valid:
+            M = np.stack(valid)
+            acc = np.zeros((len(valid), n_planes), dtype=np.float64)
+            for j in range(dim):
+                acc += M[:, j : j + 1] * P[j]
+            rows = iter(acc)
+        else:
+            rows = iter(())
+        return pd.Series(
+            [next(rows) if ok else None for ok in mask], index=s.index, dtype=object
+        )
+
+    _proj.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_proj, ArrayType(DoubleType()))(vec)
 
 
 def _sign_bits(projs: Column, n: int, offset: int = 0) -> Column:
@@ -176,6 +271,7 @@ def embedding_near_dup_pairs(
     bands: int = 6,
     rows_per_band: int = 8,
     seed: int = 42,
+    arrow_projections: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs with cosine >= tau, banded-LSH candidates.
 
@@ -199,14 +295,21 @@ def embedding_near_dup_pairs(
     # and the generated code contain the aggregate ONCE — collapsing it
     # into _band_keys directly costs ~8 s of plan/codegen compile per
     # fresh query (measured).
+    from .dedup import _spread
+
+    proj_fn = _projections_arrow if arrow_projections else _projections
+    cos_fn = cosine_arrow if arrow_projections else cosine
+    emb = _spread(emb)  # small-SF reads are 1-2 splits; spread the CPU stage
     projected = emb.select(
         F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__v"),
-        _projections(F.col(vec_col), dim, bands * rows_per_band, seed).alias("__p"),
+        proj_fn(F.col(vec_col), dim, bands * rows_per_band, seed).alias("__p"),
     )
+    # persist the NARROW banding relation only: (id, 6x(int,long)) — ~60 B
+    # per row. Caching the vectors alongside (the r2 shape) made the cache
+    # materialization the dominant stage; the verify joins the vector
+    # column back from the source scan instead, pruned to the candidates.
     base = projected.select(
         "__id",
-        "__v",
         F.array(
             *[
                 F.struct(
@@ -233,14 +336,14 @@ def embedding_near_dup_pairs(
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    v = base.select("__id", "__v")
+    v = emb.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     pairs = (
         cand.join(v.withColumnsRenamed({"__id": "id_a", "__v": "va"}), "id_a")
         .join(v.withColumnsRenamed({"__id": "id_b", "__v": "vb"}), "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+            F.round(cos_fn(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
         )
     )
     return pairs.where(F.col("cosine_sim") >= tau)

@@ -274,3 +274,21 @@ def test_near_dup_dedup_keeps_one_per_cluster(with_dupes):
     incident = {r.id_a for r in pair_rows} | {r.id_b for r in pair_rows}
     assert expect_dropped <= incident
     assert all(r.jaccard_sim >= tau for r in pair_rows)
+
+
+def test_simhash_arrow_bit_equals_expression(spark, docs):
+    """The Arrow simhash kernel (default in simhash_candidates) must be
+    bit-identical to the expression path, including null/empty rows."""
+    from logprocessor_spark.operators.dedup import simhash_arrow, split_words
+
+    sample = docs.limit(50).select("doc_id", "text").unionByName(
+        spark.createDataFrame([(90001, None), (90002, "")], "doc_id long, text string")
+    )
+    hashes = F.transform(split_words(F.col("text")), lambda t: F.xxhash64(t))
+    both = sample.select(
+        "doc_id", simhash(F.col("text")).alias("e"), simhash_arrow(hashes).alias("a")
+    )
+    rows = both.collect()
+    assert len(rows) == 52
+    for r in rows:
+        assert r.e == r.a, r.doc_id

@@ -226,3 +226,44 @@ def test_allpairs_guard_refuses_at_scale(spark):
     with pytest.raises(ValueError, match="all-pairs"):
         assert_small_for_allpairs(big, "guard-test")
     assert_small_for_allpairs(spark.range(0, 10), "guard-test")  # small: fine
+
+
+def test_projections_arrow_bit_equals_expression(spark):
+    """The Arrow plane-projection kernel must be bit-identical to the
+    interpreted aggregate fold (same additions, same order) — sign bits
+    and buckets depend on exact equality at the boundary."""
+    from pyspark.sql import functions as F
+
+    from logprocessor_spark.operators.similarity import (
+        _projections,
+        _projections_arrow,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").limit(100)
+    dim = len(emb.first().embedding)
+    both = emb.select(
+        "vec_id",
+        _projections(F.col("embedding"), dim, 48, 42).alias("e"),
+        _projections_arrow(F.col("embedding"), dim, 48, 42).alias("a"),
+    )
+    for r in both.collect():
+        assert list(r.e) == list(r.a), r.vec_id
+
+
+def test_cosine_arrow_bit_equals_expression(spark):
+    from pyspark.sql import functions as F
+
+    from logprocessor_spark.operators.similarity import cosine, cosine_arrow
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").limit(60)
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = emb.select((F.col("vec_id") + 1).alias("ib"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("ia") == F.col("ib"))
+    both = pairs.select(
+        cosine(F.col("va"), F.col("vb")).alias("e"),
+        cosine_arrow(F.col("va"), F.col("vb")).alias("a"),
+    )
+    rows = both.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.e == r.a
