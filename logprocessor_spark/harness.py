@@ -863,6 +863,104 @@ FROM documents
 """
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report — the 'what do I have' pass a training-mix
+    decision starts from: per (lang, quality band), doc counts, whitespace
+    + BPE-ish token totals, mean quality, and EXACT length percentiles
+    (Spark ``percentile`` and DuckDB ``quantile_cont`` share the same
+    interpolation, verified bit-identical). One shuffle on a
+    low-cardinality key; every expression native/codegen; at 100 TB this
+    is a partial-aggregated scan."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "lang",
+        token_count(F.col("text")).alias("__t"),
+        bpe_ish_token_count(F.col("text")).alias("__b"),
+        quality_score(F.col("text")).alias("__q"),
+        F.length("text").alias("__n"),
+    )
+    return (
+        scored.withColumn(
+            "quality_band", F.when(F.col("__q") >= 0.5, "hi").otherwise("lo")
+        )
+        .groupBy("lang", "quality_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__t").cast("bigint").alias("ws_tokens"),
+            F.sum("__b").cast("bigint").alias("bpe_tokens"),
+            F.round(F.avg("__q"), 4).alias("mean_quality"),
+            F.expr("percentile(__n, 0.5)").alias("p50_chars"),
+            F.expr("percentile(__n, 0.9)").alias("p90_chars"),
+        )
+        .orderBy("lang", "quality_band")
+    )
+
+
+SQL_CORPUS_REPORT = r"""
+WITH f AS (
+  SELECT lang, text,
+    length(text) AS n_chars,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe,
+    len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+    len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+    len(regexp_extract_all(text, '(?i)\b(the|and|of|to|a|in|is|it)\b')) AS n_stop
+  FROM documents
+), g AS (
+  SELECT lang, n_tokens, n_bpe, n_chars,
+    round(0.4 * least((n_stop / (CASE WHEN n_tokens > 0 THEN n_tokens ELSE 1 END)) * 4, 1.0)
+        + 0.3 * (CASE WHEN (n_chars - (n_tokens - 1)) / (CASE WHEN n_tokens > 0 THEN n_tokens ELSE 1 END) >= 3
+                       AND (n_chars - (n_tokens - 1)) / (CASE WHEN n_tokens > 0 THEN n_tokens ELSE 1 END) <= 10
+                      THEN 1.0 ELSE 0.0 END)
+        + 0.2 * (1.0 - least((n_punct / (CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END)) * 5, 1.0))
+        + 0.1 * (1.0 - least((n_digit / (CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END)) * 5, 1.0)), 4) AS qscore
+  FROM f
+)
+SELECT lang,
+  CASE WHEN qscore >= 0.5 THEN 'hi' ELSE 'lo' END AS quality_band,
+  count(*) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS ws_tokens,
+  CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+  round(avg(qscore), 4) AS mean_quality,
+  quantile_cont(n_chars, 0.5) AS p50_chars,
+  quantile_cont(n_chars, 0.9) AS p90_chars
+FROM g GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+SAMPLE_RATES10 = {"en": 5, "de": 3, "fr": 2, "es": 2, "zh": 1}
+
+
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling — training-mix
+    construction: per-language keep rates applied as a pure
+    ``doc_id % 10 < rate`` predicate. Reproducible across runs and
+    engines (no RNG state to ship), and the predicate pushes into the
+    scan, so at 100 TB the unsampled rows are never materialized. The
+    rate table is a ``create_map`` literal — data-driven like the routing
+    rules, not a when-chain."""
+    d = _t(spark, sf_dir, "documents")
+    rate_map = F.create_map(
+        *[F.lit(x) for kv in SAMPLE_RATES10.items() for x in kv]
+    )
+    rate = F.coalesce(F.element_at(rate_map, F.col("lang")), F.lit(0))
+    return (
+        d.where((F.col("doc_id") % 10) < rate)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+SQL_CORPUS_SAMPLE = """
+SELECT doc_id, lang FROM documents
+WHERE doc_id % 10 < CASE lang WHEN 'en' THEN 5 WHEN 'de' THEN 3
+                              WHEN 'fr' THEN 2 WHEN 'es' THEN 2
+                              WHEN 'zh' THEN 1 ELSE 0 END
+ORDER BY doc_id
+"""
+
+
 def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic stopword language-ID vs an analytic SQL twin."""
     d = _t(spark, sf_dir, "documents")
@@ -1462,6 +1560,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_ngram_pairs": q_dedup_ngram_pairs,
     "text_stats": q_text_stats,
+    "corpus_report": q_corpus_report,
+    "corpus_sample": q_corpus_sample,
     "lang_id_counts": q_lang_id_counts,
     "quality_scores": q_quality_scores,
     "rolling_fingerprints": q_rolling_fingerprints,
@@ -1512,6 +1612,8 @@ ORACLES: dict[str, str] = {
     # not SQL-expressible — rows-only check here; engine-independent
     # verification lives in tests/test_dedup.py / tests/test_similarity.py.
     "text_stats": SQL_TEXT_STATS,
+    "corpus_report": SQL_CORPUS_REPORT,
+    "corpus_sample": SQL_CORPUS_SAMPLE,
     "lang_id_counts": SQL_LANG_ID_COUNTS,
     "quality_scores": SQL_QUALITY_SCORES,
     "rolling_fingerprints": SQL_ROLLING_FINGERPRINTS,
