@@ -1532,6 +1532,234 @@ def flagship(spark: SparkSession) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Group E — round-3 depth: temporal joins, redaction, repetition, packing
+
+
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (brief-named custom operator): every click event joined
+    to the user's latest purchase at-or-before it. Implemented as the
+    union-and-window pattern (operators/temporal.py — ONE shuffle on
+    user_id, no inequality join); the oracle is DuckDB's native
+    ``ASOF LEFT JOIN``, an independent engine's implementation of the
+    same semantics. Purchases are pre-aggregated to one row per
+    (user_id, ts) per the operator's determinism contract. Timestamps
+    are rendered as epoch-microsecond longs (exact, engine-portable)."""
+    from .operators.temporal import asof_join
+
+    e = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = e.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    j = asof_join(
+        clicks, purchases, key="user_id", right_cols=["purchase_value"]
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("click_us"),
+        F.unix_micros("ts_asof").alias("purchase_us"),
+        F.round("purchase_value_asof", 2).alias("purchase_value"),
+    ).orderBy("event_id")
+
+
+SQL_ASOF_JOIN_EVENTS = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts, max(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id,
+       epoch_us(c.ts) AS click_us,
+       epoch_us(p.ts) AS purchase_us,
+       round(p.purchase_value, 2) AS purchase_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+ORDER BY c.event_id
+"""
+
+
+def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (brief-named custom operator): clicks falling inside
+    each user's first week after their first purchase, counted per
+    window. The binned reformulation (operators/temporal.py) turns the
+    interval predicate into an equi-join on (user_id, 1-day bin) + exact
+    between filter; the oracle is the naive BETWEEN join DuckDB executes
+    as its native range join (IEJoin)."""
+    from .operators.temporal import range_join_binned
+
+    e = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = e.where(F.col("event_type") == "click").select("user_id", "ts")
+    windows = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("start"))
+        .withColumn("end", F.timestamp_add("DAY", F.lit(7), F.col("start")))
+    )
+    j = range_join_binned(
+        clicks, windows, key="user_id", bin_seconds=86400
+    )
+    return (
+        j.groupBy("user_id", "start")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+        .select(
+            "user_id",
+            F.unix_micros("start").alias("window_start_us"),
+            "n_clicks",
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_RANGE_JOIN_EVENTS = """
+WITH clicks AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+), win AS (
+  SELECT user_id, min(ts) AS ws, min(ts) + INTERVAL 7 DAY AS we
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT c.user_id, epoch_us(w.ws) AS window_start_us,
+       count(*) AS n_clicks
+FROM clicks c JOIN win w
+  ON c.user_id = w.user_id AND c.ts BETWEEN w.ws AND w.we
+GROUP BY c.user_id, w.ws
+ORDER BY c.user_id
+"""
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (functions/redact.py): the corpus text carries no
+    PII-shaped tokens (verified), so the query plants deterministic
+    doc_id-derived email/IP/phone tokens — IDENTICALLY in the oracle SQL,
+    engine-portable arithmetic only — then redacts them. What's verified
+    hash-for-hash: the regex semantics and replacement order, via match
+    counts plus md5 of the redacted text. Native regexp chains, codegen,
+    no UDFs."""
+    from .functions.redact import pii_counts, redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.lit("contact u"), F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."), (F.col("doc_id") % 100).cast("string"),
+        F.lit(" call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" :: "), F.col("text"),
+    )
+    return (
+        d.select("doc_id", planted.alias("__t"))
+        .select(
+            "doc_id",
+            pii_counts(F.col("__t")).alias("__c"),
+            F.md5(F.encode(redact_pii(F.col("__t")), "UTF-8")).alias("redacted_fp"),
+        )
+        .select(
+            "doc_id",
+            F.col("__c.n_email").alias("n_email"),
+            F.col("__c.n_ip").alias("n_ip"),
+            F.col("__c.n_phone").alias("n_phone"),
+            "redacted_fp",
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_PII_REDACT = r"""
+WITH t AS (
+  SELECT doc_id,
+    'contact u' || CAST(doc_id AS VARCHAR) || '@example.com from 10.' ||
+    CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) ||
+    ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+    ' :: ' || text AS txt
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+  CAST(len(regexp_extract_all(txt, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ip,
+  CAST(len(regexp_extract_all(txt, '\b555-\d{4}\b')) AS INT) AS n_phone,
+  md5(regexp_replace(regexp_replace(regexp_replace(txt,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+      '\b555-\d{4}\b', '[PHONE]', 'g')) AS redacted_fp
+FROM t ORDER BY doc_id
+"""
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (operators/repetition.py):
+    top-word and top-bigram fraction per doc via explode + partial-agg
+    groupBy (single-doc skew spreads across the cluster)."""
+    from .operators.repetition import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+SQL_REPETITION_STATS = r"""
+WITH wd AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents
+), uni AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         round(max(c)::DOUBLE / sum(c), 4) AS top_word_frac
+  FROM (SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id, unnest(w) AS g FROM wd) GROUP BY doc_id, g)
+  GROUP BY doc_id
+), bi AS (
+  SELECT doc_id, round(max(c)::DOUBLE / sum(c), 4) AS top_bigram_frac
+  FROM (SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+              FROM wd WHERE len(w) >= 2)
+        GROUP BY doc_id, g)
+  GROUP BY doc_id
+)
+SELECT u.doc_id, u.n_words, u.top_word_frac,
+       coalesce(b.top_bigram_frac, 0.0) AS top_bigram_frac
+FROM uni u LEFT JOIN bi b ON u.doc_id = b.doc_id
+ORDER BY u.doc_id
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.py): BPE-ish token counts
+    packed contiguously into 2048-token sequences over 32 deterministic
+    doc_id-sharded streams. Pure window arithmetic — the oracle runs the
+    identical window in DuckDB."""
+    from .operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    packed = pack_sequences(
+        d, bpe_ish_token_count(F.col("text")), seq_len=2048, buckets=32
+    )
+    return packed.select(
+        "doc_id",
+        F.col("bucket").cast("long").alias("bucket"),
+        "n_tokens",
+        "seq_bin",
+        "bin_offset",
+    ).orderBy("doc_id")
+
+
+SQL_PACK_SEQUENCES = r"""
+WITH t AS (
+  SELECT doc_id, CAST(doc_id % 32 AS BIGINT) AS bucket,
+    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, bucket, n_tokens,
+    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+  FROM t
+)
+SELECT doc_id, bucket, n_tokens,
+  CAST(floor(cum_before / 2048) AS BIGINT) AS seq_bin,
+  CAST(cum_before % 2048 AS BIGINT) AS bin_offset
+FROM c ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "log_parse_fields": q_log_parse_fields,
     "log_parse_errors": q_log_parse_errors,
@@ -1580,6 +1808,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "curate_corpus": q_curate_corpus,
+    "asof_join_events": q_asof_join_events,
+    "range_join_events": q_range_join_events,
+    "pii_redact": q_pii_redact,
+    "repetition_stats": q_repetition_stats,
+    "pack_sequences": q_pack_sequences,
 }
 
 ORACLES: dict[str, str] = {
@@ -1631,4 +1864,9 @@ ORACLES: dict[str, str] = {
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "multimodal_frame_sample": SQL_MULTIMODAL_FRAME_SAMPLE,
     "curate_corpus": SQL_CURATE_CORPUS,
+    "asof_join_events": SQL_ASOF_JOIN_EVENTS,
+    "range_join_events": SQL_RANGE_JOIN_EVENTS,
+    "pii_redact": SQL_PII_REDACT,
+    "repetition_stats": SQL_REPETITION_STATS,
+    "pack_sequences": SQL_PACK_SEQUENCES,
 }

@@ -1,0 +1,137 @@
+"""Temporal join operators Spark lacks as built-ins: as-of join and
+range (interval) join, both expressed as compositions of shuffle-friendly
+DataFrame primitives — never an inequality-only join, which Spark can only
+execute as BroadcastNestedLoop (O(n*m) compare, the classic scale-killer).
+
+* ``asof_join``  — for each left row, the latest right row with
+  ``right.ts <= left.ts`` per key. Implemented as the union-and-window
+  pattern: tag sides, sort each key's rows by (ts, side), carry the last
+  non-null right attributes forward with an ``ignorenulls`` window. ONE
+  shuffle on the key (the window's), zero joins, no candidate explosion —
+  the same shape a 100 TB point-in-time-correct feature join runs.
+  The reference has no temporal joins (its pipeline is stateless per
+  record, parsers.clj); this is engine surface the brief names explicitly.
+
+* ``range_join_binned`` — events ⋈ intervals where
+  ``start <= ts <= end``, via time-binning: each interval explodes into
+  the fixed-width bins it covers, events map to exactly one bin, and the
+  pair space collapses to an EQUI-join on (key, bin) followed by the
+  exact ``between`` filter. Bin width should be chosen ~ median interval
+  length: candidate blow-up is ceil(len/bin)+1 rows per interval, and the
+  equi-join shuffles/AQE-balances like any other join. An event lands in
+  one bin only, so no pair dedup pass is needed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str] = (),
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join: every ``left`` row, plus the ``right_cols`` of the
+    latest ``right`` row with ``right_ts <= left_ts`` for the same key
+    (NULLs when no prior right row exists). Equal timestamps match, like
+    DuckDB/kdb ``ASOF JOIN`` with a ``>=`` condition.
+
+    DETERMINISM contract: ``right`` must be unique per (key, right_ts) —
+    pre-aggregate it otherwise (the matched row at a tied timestamp is
+    undefined in every engine's as-of semantics; make the tie-break
+    explicit upstream instead of inheriting one).
+
+    Scale shape: union of the two relations (map-side, no shuffle), one
+    window over (key) ordered by (ts, side) — a single hash-partition
+    exchange on the key; per-row state is the last-seen right attributes,
+    O(1). Compare with the naive ``left.join(right, ts >= ts)`` +
+    groupBy-max: that is a nested-loop candidate product. Skewed keys
+    behave like any skewed window: pre-split hot keys upstream if needed.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    rc = [c for c in right_cols if c not in keys]
+    # side 0 sorts before side 1 at equal ts -> a right row at exactly
+    # left_ts is visible to that left row (inclusive as-of)
+    r = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.col(right_ts).alias(f"{right_ts}{suffix}"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in rc],
+    )
+    l_cols = left.columns
+    l = left.select(
+        *[F.col(c) for c in l_cols],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema[f"{right_ts}{suffix}"].dataType).alias(f"{right_ts}{suffix}"),
+        *[
+            F.lit(None).cast(r.schema[f"{c}{suffix}"].dataType).alias(f"{c}{suffix}")
+            for c in rc
+        ],
+    )
+    # align schemas: right side lacks left-only columns
+    for c in l_cols:
+        if c not in keys:
+            r = r.withColumn(c, F.lit(None).cast(l.schema[c].dataType))
+    unioned = l.unionByName(r.select(*l.columns))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [f"{right_ts}{suffix}"] + [f"{c}{suffix}" for c in rc]
+    out = unioned.select(
+        *l_cols,
+        F.col("__side"),
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
+    )
+    return out.where(F.col("__side") == 1).drop("__side")
+
+
+def range_join_binned(
+    events: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bin_seconds: int = 600,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join reformulation of ``events ⋈ intervals ON key AND
+    start <= ts <= end`` (inclusive bounds). Returns event rows joined
+    with their matching interval's columns; an event inside k overlapping
+    intervals yields k rows (standard range-join semantics).
+
+    Each interval emits one row per ``bin_seconds`` bin it covers; events
+    hash to exactly one bin. The join is then a plain equi-join on
+    (key, bin) — broadcastable when intervals are small, sort-merge +
+    AQE otherwise — followed by the exact between filter. No pair can
+    appear twice (the event's single bin meets each covering interval
+    once), so there is no dedup pass.
+    """
+    bin_e = (F.unix_timestamp(F.col(ts_col)) / bin_seconds).cast("long")
+    ev = events.withColumn("__bin", bin_e)
+    iv = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                (F.unix_timestamp(F.col(start_col)) / bin_seconds).cast("long"),
+                (F.unix_timestamp(F.col(end_col)) / bin_seconds).cast("long"),
+            )
+        ),
+    )
+    joined = ev.join(iv, on=[key, "__bin"], how=how).where(
+        F.col(ts_col).between(F.col(start_col), F.col(end_col))
+    )
+    return joined.drop("__bin")

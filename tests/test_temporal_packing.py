@@ -1,0 +1,144 @@
+"""Round-3 depth operators: as-of join, binned range join, PII redaction,
+repetition stats, sequence packing. Each is verified against a naive
+engine-independent reimplementation on small inline data (the registered
+queries add the DuckDB oracle at sf-scale)."""
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+T0 = datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _ts(sec: float) -> datetime:
+    return T0 + timedelta(seconds=sec)
+
+
+def test_asof_join_matches_naive(spark):
+    from logprocessor_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, _ts(5)), (1, _ts(10)), (1, _ts(2)), (2, _ts(7)), (3, _ts(1))],
+        "k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(3), 30.0), (1, _ts(10), 100.0), (2, _ts(6), 60.0), (2, _ts(8), 80.0)],
+        "k long, ts timestamp, v double",
+    )
+    got = {
+        (r.k, r.ts): (r.ts_asof, r.v_asof)
+        for r in asof_join(left, right, key="k", right_cols=["v"]).collect()
+    }
+    # naive: per left row, the max right.ts <= left.ts
+    rrows = [(1, _ts(3), 30.0), (1, _ts(10), 100.0), (2, _ts(6), 60.0), (2, _ts(8), 80.0)]
+    for k, ts in [(1, _ts(5)), (1, _ts(10)), (1, _ts(2)), (2, _ts(7)), (3, _ts(1))]:
+        cands = [(rts, v) for rk, rts, v in rrows if rk == k and rts <= ts]
+        want = max(cands) if cands else (None, None)
+        assert got[(k, ts)] == want, (k, ts)
+    # equal timestamps match (inclusive as-of)
+    assert got[(1, _ts(10))] == (_ts(10), 100.0)
+    # no prior right row -> NULLs, row preserved
+    assert got[(3, _ts(1))] == (None, None)
+    assert len(got) == 5
+
+
+def test_asof_join_plan_has_no_nested_loop(spark):
+    """The union-and-window shape must never fall back to the O(n*m)
+    BroadcastNestedLoopJoin a naive inequality join compiles to."""
+    from logprocessor_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, _ts(5))], "k long, ts timestamp")
+    right = spark.createDataFrame([(1, _ts(3), 1.0)], "k long, ts timestamp, v double")
+    plan = (
+        asof_join(left, right, key="k", right_cols=["v"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_binned_matches_naive(spark):
+    from logprocessor_spark.operators.temporal import range_join_binned
+
+    events = spark.createDataFrame(
+        [(1, _ts(s)) for s in (0, 30, 59, 61, 600, 1205)]
+        + [(2, _ts(100)), (3, _ts(100))],
+        "k long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (1, _ts(0), _ts(61), "a"),       # inclusive both ends
+            (1, _ts(1200), _ts(1300), "b"),  # crosses a 600s bin boundary
+            (2, _ts(90), _ts(110), "c"),
+            (4, _ts(0), _ts(10000), "d"),    # key with no events
+        ],
+        "k long, start timestamp, end timestamp, tag string",
+    )
+    got = sorted(
+        (r.k, r.ts, r.tag)
+        for r in range_join_binned(events, intervals, key="k", bin_seconds=600).collect()
+    )
+    want = sorted(
+        [(1, _ts(0), "a"), (1, _ts(30), "a"), (1, _ts(59), "a"), (1, _ts(61), "a"),
+         (1, _ts(1205), "b"), (2, _ts(100), "c")]
+    )
+    assert got == want
+
+
+def test_redact_pii_goldens(spark):
+    from logprocessor_spark.functions.redact import pii_counts, redact_pii
+
+    rows = [
+        ("write bob.smith+x@sub.example.co.uk now", "write [EMAIL] now", (1, 0, 0)),
+        ("host 192.168.0.1 and 10.0.0.255 up", "host [IP] and [IP] up", (0, 2, 0)),
+        ("call 555-0199 today", "call [PHONE] today", (0, 0, 1)),
+        ("a@b.io at 1.2.3.4 call 555-1234", "[EMAIL] at [IP] call [PHONE]", (1, 1, 1)),
+        ("no pii here 12.34", "no pii here 12.34", (0, 0, 0)),
+    ]
+    df = spark.createDataFrame([(t,) for t, _, _ in rows], "t string")
+    out = df.select(
+        redact_pii(F.col("t")).alias("r"), pii_counts(F.col("t")).alias("c")
+    ).collect()
+    for (t, want_r, want_c), row in zip(rows, out):
+        assert row.r == want_r, t
+        assert (row.c.n_email, row.c.n_ip, row.c.n_phone) == want_c, t
+
+
+def test_repetition_stats_hand_computed(spark):
+    from logprocessor_spark.operators.repetition import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b"),          # top word a:3/4; bigrams: [a a, a a, a b] -> 2/3
+            (2, "x y x y x"),        # x:3/5; bigrams [x y, y x, x y, y x] -> 2/4
+            (3, "solo"),             # 1 word, no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert (got[1].n_words, got[1].top_word_frac, got[1].top_bigram_frac) == (4, 0.75, round(2 / 3, 4))
+    assert (got[2].n_words, got[2].top_word_frac, got[2].top_bigram_frac) == (5, 0.6, 0.5)
+    assert (got[3].n_words, got[3].top_word_frac, got[3].top_bigram_frac) == (1, 1.0, 0.0)
+
+
+def test_pack_sequences_invariants(spark):
+    from logprocessor_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, "w " * ((i * 37) % 900 + 10)) for i in range(200)],
+        "doc_id long, text string",
+    )
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    rows = pack_sequences(df, n_tok, seq_len=512, buckets=8).collect()
+    assert len(rows) == 200
+    by_bucket: dict[int, list] = {}
+    for r in rows:
+        assert r.bucket == r.doc_id % 8
+        by_bucket.setdefault(r.bucket, []).append(r)
+    for b, rs in by_bucket.items():
+        rs.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rs:
+            # each doc starts exactly where the previous one ended
+            assert (r.seq_bin, r.bin_offset) == (cum // 512, cum % 512), (b, r.doc_id)
+            cum += r.n_tokens
