@@ -142,6 +142,45 @@ def main() -> None:
     )
     check("embedding LSH: band keys persisted", "InMemoryTableScan" in p)
 
+    # as-of join: join-free plan — one Window over the key, never a
+    # nested-loop inequality join
+    from logprocessor_spark.operators.temporal import asof_join, range_join_binned
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purch = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    p = plan_of(asof_join(clicks, purch, key="user_id", right_cols=["value"]))
+    check(
+        "asof join: window-based, zero joins",
+        "Window" in p
+        and not any(
+            j in p
+            for j in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct")
+        ),
+    )
+
+    # range join: the binned reformulation must compile to an EQUI-join
+    iv = purch.groupBy("user_id").agg(F.min("ts").alias("start")).withColumn(
+        "end", F.timestamp_add("DAY", F.lit(7), F.col("start"))
+    )
+    p = plan_of(range_join_binned(clicks, iv, key="user_id", bin_seconds=86400))
+    check(
+        "range join: equi-join on (key, bin), no nested loop",
+        any(j in p for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+        and "BroadcastNestedLoopJoin" not in p
+        and "CartesianProduct" not in p,
+    )
+
+    # sequence packing: the cumsum window must partition by bucket — a
+    # global (SinglePartition) window would serialize the whole corpus
+    p = plan_of(harness.q_pack_sequences(spark, sf_dir))
+    check(
+        "pack_sequences: window sharded on bucket (not global)",
+        "hashpartitioning(bucket" in p,
+    )
+
     # prebucketed ANN: bucket predicate prunes partitions at the scan
     import hashlib
     import os
