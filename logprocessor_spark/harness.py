@@ -1760,6 +1760,127 @@ FROM c ORDER BY doc_id
 """
 
 
+def q_curate_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL modern curation pipeline over a replayed (doubled) corpus,
+    composed from the verified pieces end-to-end: quality gate -> language
+    gate -> exact dedup (kills the replayed copies) -> repetition filter
+    (Gopher top-word fraction <= 0.2) -> FUZZY near-dup dedup (MinHash-LSH
+    pairs -> connected components -> one survivor per cluster) -> PII
+    redaction of the surviving text. This is the chain a Common-Crawl ->
+    training-corpus run actually executes; every stage's oracle logic is
+    the one already hash-verified standalone, composed into one SQL twin.
+
+    Scale shape: gates fuse into the scan; exact dedup is the 32-byte-key
+    groupBy; repetition is a partial-agg explode; fuzzy dedup shuffles
+    24-byte band rows + 16-24-byte label rows; redaction is codegen'd
+    regexp over survivors only."""
+    from .operators.dedup import near_dup_dedup
+    from .operators.repetition import repetition_stats
+    from .functions.redact import redact_pii
+
+    base = _docs_with_dupes(spark, sf_dir)
+    scored = base.select(
+        "doc_id",
+        "text",
+        quality_score(F.col("text")).alias("qscore"),
+        lang_id(F.col("text")).alias("lang_pred"),
+    )
+    gated = scored.where((F.col("qscore") >= 0.5) & (F.col("lang_pred") == "en"))
+    ex = exact_dedup(gated)
+    rep_keep = repetition_stats(ex).where(F.col("top_word_frac") <= 0.2).select("doc_id")
+    filtered = ex.join(rep_keep, on="doc_id", how="leftsemi")
+    survivors = near_dup_dedup(filtered, threshold=0.8)
+    planted = F.concat(
+        F.lit("contact u"), F.col("doc_id").cast("string"),
+        F.lit("@example.com :: "), F.col("text"),
+    )
+    return survivors.select(
+        "doc_id",
+        "qscore",
+        F.md5(F.encode(redact_pii(planted), "UTF-8")).alias("redacted_fp"),
+    ).orderBy("doc_id")
+
+
+SQL_CURATE_CORPUS_V2 = r"""
+WITH RECURSIVE dd AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 100000, text FROM documents
+), f AS (
+  SELECT doc_id, text,
+    length(text) AS n_chars,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+    len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+    len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+    len(regexp_extract_all(text, '(?i)\b(the|and|of|to|a|in|is|it)\b')) AS n_stop,
+    len(regexp_extract_all(text, '(?i)\b(der|die|und|das|ist|nicht|ein)\b')) AS s_de,
+    len(regexp_extract_all(text, '(?i)\b(le|la|et|les|des|est|une)\b')) AS s_fr,
+    len(regexp_extract_all(text, '(?i)\b(el|la|los|que|es|una|por)\b')) AS s_es
+  FROM dd
+), g AS (
+  SELECT doc_id, text, n_stop AS s_en, s_de, s_fr, s_es,
+    round(0.4 * least((n_stop / (CASE WHEN n_tokens > 0 THEN n_tokens ELSE 1 END)) * 4, 1.0)
+        + 0.3 * (CASE WHEN (n_chars - (n_tokens - 1)) / (CASE WHEN n_tokens > 0 THEN n_tokens ELSE 1 END) >= 3
+                       AND (n_chars - (n_tokens - 1)) / (CASE WHEN n_tokens > 0 THEN n_tokens ELSE 1 END) <= 10
+                      THEN 1.0 ELSE 0.0 END)
+        + 0.2 * (1.0 - least((n_punct / (CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END)) * 5, 1.0))
+        + 0.1 * (1.0 - least((n_digit / (CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END)) * 5, 1.0)), 4) AS qscore
+  FROM f
+), k AS (
+  SELECT doc_id, text, qscore FROM g
+  WHERE qscore >= 0.5
+    AND greatest(s_en, s_de, s_fr, s_es) > 0
+    AND s_en = greatest(s_en, s_de, s_fr, s_es)
+), e AS (
+  SELECT min(doc_id) AS doc_id, text, qscore FROM k GROUP BY md5(text), text, qscore
+), rep AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_word_frac
+    FROM (SELECT doc_id, g2, count(*) AS c
+          FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS g2 FROM e)
+          GROUP BY doc_id, g2)
+    GROUP BY doc_id
+  ) WHERE top_word_frac <= 0.2
+), fl AS (
+  SELECT e.doc_id, e.text, e.qscore FROM e SEMI JOIN rep ON e.doc_id = rep.doc_id
+), w AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS wd FROM fl
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(wd) >= 3
+         THEN list_distinct(list_transform(range(1, len(wd)-1),
+                i -> wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2]))
+         ELSE [array_to_string(wd, ' ')] END AS s
+  FROM w
+), pr AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS la, len(b.s) AS lb
+  FROM sh a JOIN sh b
+    ON a.doc_id < b.doc_id
+   AND least(len(a.s), len(b.s))::DOUBLE / greatest(len(a.s), len(b.s)) >= 0.8
+), p AS (
+  SELECT id_a, id_b FROM pr WHERE inter::DOUBLE / (la + lb - inter) >= 0.8
+), ed AS (
+  SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p
+), reach AS (
+  SELECT src, dst FROM ed
+  UNION
+  SELECT r.src, ed.dst FROM reach r JOIN ed ON r.dst = ed.src WHERE ed.dst <> r.src
+), losers AS (
+  SELECT src AS doc_id FROM reach GROUP BY src
+  HAVING least(src, min(dst)) <> src
+)
+SELECT fl.doc_id, fl.qscore,
+  md5(regexp_replace(regexp_replace(regexp_replace(
+      'contact u' || CAST(fl.doc_id AS VARCHAR) || '@example.com :: ' || fl.text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+      '\b555-\d{4}\b', '[PHONE]', 'g')) AS redacted_fp
+FROM fl ANTI JOIN losers ON fl.doc_id = losers.doc_id
+ORDER BY fl.doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "log_parse_fields": q_log_parse_fields,
     "log_parse_errors": q_log_parse_errors,
@@ -1813,6 +1934,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redact": q_pii_redact,
     "repetition_stats": q_repetition_stats,
     "pack_sequences": q_pack_sequences,
+    "curate_corpus_v2": q_curate_corpus_v2,
 }
 
 ORACLES: dict[str, str] = {
@@ -1869,4 +1991,5 @@ ORACLES: dict[str, str] = {
     "pii_redact": SQL_PII_REDACT,
     "repetition_stats": SQL_REPETITION_STATS,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "curate_corpus_v2": SQL_CURATE_CORPUS_V2,
 }

@@ -33,6 +33,11 @@ SUBSET = [
     "quality_scores",
     "cosine_topk",
     "knn_join",
+    "asof_join_events",
+    "range_join_events",
+    "pii_redact",
+    "repetition_stats",
+    "pack_sequences",
 ]
 
 
