@@ -869,8 +869,12 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     + BPE-ish token totals, mean quality, and EXACT length percentiles
     (Spark ``percentile`` and DuckDB ``quantile_cont`` share the same
     interpolation, verified bit-identical). One shuffle on a
-    low-cardinality key; every expression native/codegen; at 100 TB this
-    is a partial-aggregated scan."""
+    low-cardinality key; every expression native/codegen. Scale caveat:
+    counts/sums/avg partial-aggregate, but EXACT ``percentile`` buffers
+    each group's values, so at 10^12 docs the percentile columns are the
+    bottleneck: the 100 TB run swaps in ``approx_percentile`` (t-digest,
+    mergeable, bounded memory) and accepts losing oracle bit-parity;
+    exact percentiles stay for the small-SF correctness gate."""
     d = _t(spark, sf_dir, "documents")
     scored = d.select(
         "lang",
