@@ -175,3 +175,29 @@ def sessionize(
             F.round("total_value", 2).alias("total_value"),
         )
     )
+
+
+def stream_curate(
+    docs_stream: DataFrame,
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    langs: tuple[str, ...] = ("en",),
+) -> DataFrame:
+    """Streaming curation gate: quality score + language-ID + PII
+    redaction bound to a document stream — the same pure column
+    expressions the batch chain uses (`curate_corpus_v2`), so the two
+    modes stay one logical pipeline. All three are stateless projections/
+    filters: they fuse into the micro-batch scan with zero streaming
+    state (dedup against history is the batch reconcile's job — a
+    streaming exact-dedup twin lives in ``stream_dedup``)."""
+    from ..functions.redact import pii_counts, redact_pii
+    from ..functions.textstats import lang_id, quality_score
+
+    t = F.col(text_col)
+    return (
+        docs_stream.withColumn("qscore", quality_score(t))
+        .withColumn("lang_pred", lang_id(t))
+        .where((F.col("qscore") >= min_quality) & F.col("lang_pred").isin(*langs))
+        .withColumn("pii", pii_counts(t))
+        .withColumn(text_col, redact_pii(t))
+    )

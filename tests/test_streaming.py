@@ -164,3 +164,44 @@ def test_running_user_stats_stateful(spark, tmp_path):
         .collect()
     }
     assert {u: t[0] for u, t in last.items()} == {u: t[0] for u, t in want.items()}
+
+
+def test_stream_curate_matches_batch(spark, tmp_path):
+    """The streaming curation gate must keep/redact exactly the rows the
+    same expressions keep in batch mode (one logical plan, two modes)."""
+    from logprocessor_spark.functions.redact import redact_pii
+    from logprocessor_spark.functions.textstats import lang_id, quality_score
+    from logprocessor_spark.streaming.pipeline import stream_curate
+
+    src_dir = str(tmp_path / "docs")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", F.concat(F.col("text"), F.lit(" mail x@y.io")).alias("text")
+    )
+    docs.write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src_dir)
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        stream_curate(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.doc_id, r.text, r.pii.n_email) for r in spark.read.parquet(out_dir).collect()}
+    t = F.concat(F.col("text"), F.lit(" mail x@y.io"))
+    batch = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", t.alias("text"))
+        .where((quality_score(F.col("text")) >= 0.5) & (lang_id(F.col("text")) == "en"))
+        .select("doc_id", redact_pii(F.col("text")).alias("text"))
+    )
+    want = {(r.doc_id, r.text, 1) for r in batch.collect()}
+    assert got == want
+    assert len(got) > 0
+    assert all(t.endswith("mail [EMAIL]") for _, t, _ in got)
