@@ -1885,6 +1885,201 @@ ORDER BY fl.doc_id
 """
 
 
+def _hosted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + a deterministic per-doc URL host (the pages_from_documents
+    URL grammar), extracted with native parse_url."""
+    from .operators.curation import host_of
+
+    d = _t(spark, sf_dir, "documents")
+    ii = F.col("doc_id").cast("int")
+    url = F.format_string(
+        "https://host%03d.example.com/d/%d", ii % 200, F.col("doc_id")
+    )
+    return d.select("doc_id", host_of(url).alias("host"))
+
+
+def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host document cap (C4-style domain balancing): keep at most 2
+    docs per URL host, lowest doc_id first. Spark side runs the two-phase
+    salted top-k (skew-proof: a Zipf-head host sorts across 16 buckets);
+    the oracle is the plain SQL window — identical output by construction,
+    and pytest asserts the salted/plain parity on a skewed synthetic too."""
+    from .operators.curation import host_cap
+
+    return (
+        host_cap(_hosted_docs(spark, sf_dir), cap=2)
+        .select("doc_id", "host")
+        .orderBy("doc_id")
+    )
+
+
+SQL_HOST_CAP = """
+WITH u AS (
+  SELECT doc_id,
+    regexp_extract(printf('https://host%03d.example.com/d/%d',
+                          CAST(doc_id % 200 AS INT), doc_id),
+                   'https?://([^/]+)', 1) AS host
+  FROM documents
+), r AS (
+  SELECT doc_id, host,
+         row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rn
+  FROM u
+)
+SELECT doc_id, host FROM r WHERE rn <= 2 ORDER BY doc_id
+"""
+
+
+_NAV_A = "Home | About | Contact"
+_NAV_B = "Home | News"
+_PROMO = "Subscribe to our newsletter"
+
+
+def _boilerplated_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-line page text: nav bar + body + optional promo + per-host
+    footer, all doc_id-derived so the oracle rebuilds the same corpus."""
+    d = _t(spark, sf_dir, "documents")
+    ii = F.col("doc_id").cast("int")
+    nav = F.when(ii % 2 == 0, F.lit(_NAV_A)).otherwise(F.lit(_NAV_B))
+    promo = F.when(ii % 3 == 0, F.lit("\n" + _PROMO)).otherwise(F.lit(""))
+    footer = F.format_string("(c) 2015 host%03d.example.com", ii % 200)
+    return d.select(
+        "doc_id",
+        F.concat(nav, F.lit("\n"), F.col("text"), promo, F.lit("\n"), footer).alias(
+            "text"
+        ),
+    )
+
+
+def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-frequency boilerplate-line removal: a line whose
+    hash appears in ≥ 10 distinct documents (nav bars, promo banners) is
+    cut from every document; per-host footers stay below the threshold at
+    this SF and survive. Output is (doc_id, clean_len, clean_fp,
+    n_lines_cut) so the oracle verifies the reconstructed text value-for-
+    value. Scale shape: the frequent-line set is tiny by definition and
+    broadcasts; line text shuffles exactly once (the reassembly groupBy)."""
+    from .operators.curation import remove_boilerplate_lines
+
+    cleaned = remove_boilerplate_lines(
+        _boilerplated_pages(spark, sf_dir), min_docs=10
+    )
+    return cleaned.select(
+        "doc_id",
+        F.length("text").cast("int").alias("clean_len"),
+        F.md5(F.encode("text", "UTF-8")).alias("clean_fp"),
+        "n_lines_cut",
+    ).orderBy("doc_id")
+
+
+SQL_BOILERPLATE_REMOVAL = f"""
+WITH pages AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN '{_NAV_A}' ELSE '{_NAV_B}' END)
+    || chr(10) || text
+    || (CASE WHEN doc_id % 3 = 0 THEN chr(10) || '{_PROMO}' ELSE '' END)
+    || chr(10) || printf('(c) 2015 host%03d.example.com', CAST(doc_id % 200 AS INT))
+      AS page
+  FROM documents
+), l0 AS (
+  SELECT doc_id, string_split(page, chr(10)) AS ls FROM pages
+), lines AS (
+  SELECT doc_id, unnest(ls) AS line,
+         CAST(unnest(range(1, len(ls)+1)) AS INT) AS pos
+  FROM l0
+), freq AS (
+  SELECT line FROM (SELECT DISTINCT doc_id, line FROM lines)
+  GROUP BY line HAVING count(*) >= 10
+), marked AS (
+  SELECT x.doc_id, x.pos, x.line, (f.line IS NOT NULL) AS bp
+  FROM lines x LEFT JOIN freq f USING (line)
+)
+SELECT doc_id,
+  CAST(length(coalesce(string_agg(line, chr(10) ORDER BY pos)
+                         FILTER (WHERE NOT bp), '')) AS INT) AS clean_len,
+  md5(coalesce(string_agg(line, chr(10) ORDER BY pos)
+                 FILTER (WHERE NOT bp), '')) AS clean_fp,
+  CAST(count(*) FILTER (WHERE bp) AS INT) AS n_lines_cut
+FROM marked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-20 tokens by frequency (BPE-construction
+    step 0). Map-side partial agg collapses each partition's token repeats
+    before the shuffle; the limit is a TakeOrderedAndProject."""
+    from .operators.curation import vocab_topk
+
+    return vocab_topk(_t(spark, sf_dir, "documents"), k=20)
+
+
+SQL_VOCAB_TOPK = r"""
+WITH t AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS token
+  FROM documents
+)
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM t GROUP BY token ORDER BY n DESC, token LIMIT 20
+"""
+
+
+def q_corpus_report_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus_report percentiles on the SCALE path: approx_percentile
+    (Greenwald-Khanna sketch — mergeable, bounded memory, partial-agg)
+    instead of exact percentile (which buffers every group value and is
+    the 10^12-doc bottleneck, see q_corpus_report). Oracle parity holds at
+    the correctness gate's SF because the GK sketch is EXACT while a
+    group's count stays under the accuracy parameter (10k here), and
+    Spark's rank rule matches DuckDB's quantile_disc (edge cases probed:
+    even/odd n, q=0.1/0.5/0.9, singletons). At 100 TB the sketch degrades
+    gracefully to ±1/accuracy rank error — that trade is the operator."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "lang",
+        quality_score(F.col("text")).alias("__q"),
+        F.length("text").alias("__n"),
+    )
+    return (
+        scored.withColumn(
+            "quality_band", F.when(F.col("__q") >= 0.5, "hi").otherwise("lo")
+        )
+        .groupBy("lang", "quality_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("approx_percentile(__n, 0.5, 10000)").alias("p50_chars"),
+            F.expr("approx_percentile(__n, 0.9, 10000)").alias("p90_chars"),
+        )
+        .orderBy("lang", "quality_band")
+    )
+
+
+SQL_CORPUS_REPORT_APPROX = r"""
+WITH f AS (
+  SELECT lang, length(text) AS n_chars,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+    len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+    len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+    len(regexp_extract_all(text, '(?i)\b(the|and|of|to|a|in|is|it)\b')) AS n_stop
+  FROM documents
+), g AS (
+  SELECT lang, n_chars,
+    round(0.4 * least((n_stop / (CASE WHEN n_tokens > 0 THEN n_tokens ELSE 1 END)) * 4, 1.0)
+        + 0.3 * (CASE WHEN (n_chars - (n_tokens - 1)) / (CASE WHEN n_tokens > 0 THEN n_tokens ELSE 1 END) >= 3
+                       AND (n_chars - (n_tokens - 1)) / (CASE WHEN n_tokens > 0 THEN n_tokens ELSE 1 END) <= 10
+                      THEN 1.0 ELSE 0.0 END)
+        + 0.2 * (1.0 - least((n_punct / (CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END)) * 5, 1.0))
+        + 0.1 * (1.0 - least((n_digit / (CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END)) * 5, 1.0)), 4) AS qscore
+  FROM f
+)
+SELECT lang,
+  CASE WHEN qscore >= 0.5 THEN 'hi' ELSE 'lo' END AS quality_band,
+  count(*) AS n_docs,
+  quantile_disc(n_chars, 0.5) AS p50_chars,
+  quantile_disc(n_chars, 0.9) AS p90_chars
+FROM g GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "log_parse_fields": q_log_parse_fields,
     "log_parse_errors": q_log_parse_errors,
@@ -1939,6 +2134,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "pack_sequences": q_pack_sequences,
     "curate_corpus_v2": q_curate_corpus_v2,
+    "host_cap": q_host_cap,
+    "boilerplate_removal": q_boilerplate_removal,
+    "vocab_topk": q_vocab_topk,
+    "corpus_report_approx": q_corpus_report_approx,
 }
 
 ORACLES: dict[str, str] = {
@@ -1996,4 +2195,8 @@ ORACLES: dict[str, str] = {
     "repetition_stats": SQL_REPETITION_STATS,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "curate_corpus_v2": SQL_CURATE_CORPUS_V2,
+    "host_cap": SQL_HOST_CAP,
+    "boilerplate_removal": SQL_BOILERPLATE_REMOVAL,
+    "vocab_topk": SQL_VOCAB_TOPK,
+    "corpus_report_approx": SQL_CORPUS_REPORT_APPROX,
 }

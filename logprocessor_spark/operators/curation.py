@@ -1,0 +1,159 @@
+"""Corpus-curation operators over web-page-shaped inputs: per-host caps,
+corpus-frequency boilerplate-line removal, and vocabulary extraction.
+
+These are the "shape the training mix" passes that run after parsing and
+before dedup/packing in a web-scale pipeline (the reference's analog is
+its per-partition task scoping, utils.clj:73-77 — it never curates, but a
+Common-Crawl corpus pipeline must):
+
+* ``host_cap`` — limit documents per registrable host so no single domain
+  dominates the mix (C4 kept ≤ a fixed share per domain). Implemented as a
+  two-phase salted top-k so one mega-host (crawl skew is Zipfian) cannot
+  pin a single reducer.
+* ``remove_boilerplate_lines`` — CCNet-style line-level dedup: a line whose
+  hash occurs in ≥ ``min_docs`` distinct documents is boilerplate (nav
+  bars, cookie banners, footers) and is removed from every document; the
+  remainder is reassembled in order.
+* ``vocab_topk`` — corpus-wide token frequencies, the first step of
+  vocabulary/BPE construction and a cheap corpus health check.
+
+All shuffles carry hashes or short tokens, never full documents, except
+the final reassembly groupBy in ``remove_boilerplate_lines`` which is
+unavoidable (the output IS the document) and shuffles each line exactly
+once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: lower-cased twin of textstats.BPE_ISH_TOKEN_RE — apply after lower()
+TOKEN_RE_LOWER = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def host_of(url: F.Column) -> F.Column:
+    """Registrable host of a URL — native ``parse_url`` (codegen, JVM)."""
+    return F.parse_url(url, F.lit("HOST"))
+
+
+def host_cap(
+    df: DataFrame,
+    cap: int,
+    host_col: str = "host",
+    order_col: str = "doc_id",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per host, chosen by ascending
+    ``order_col`` (pass a quality rank for best-first selection).
+
+    Two-phase salted top-k: phase 1 partitions each host's rows across
+    ``salt_buckets`` deterministic buckets (xxhash64 of the order key) and
+    keeps ``cap`` per (host, bucket); phase 2 re-ranks the ≤ cap·buckets
+    survivors per host exactly. The global per-host top-cap is contained
+    in the union of per-bucket top-caps, so the result is identical to a
+    single window — but a Zipf-head host (one domain with 10^9 pages at
+    crawl scale) sorts in ``salt_buckets`` parallel tasks instead of one.
+    Phase 2's input is ≤ cap·salt_buckets rows per host: tiny.
+    """
+    salt = F.pmod(F.xxhash64(F.col(order_col)), F.lit(salt_buckets))
+    w1 = Window.partitionBy(host_col, "__salt").orderBy(order_col)
+    phase1 = (
+        df.withColumn("__salt", salt)
+        .withColumn("__rn", F.row_number().over(w1))
+        .where(F.col("__rn") <= cap)
+        .drop("__rn", "__salt")
+    )
+    w2 = Window.partitionBy(host_col).orderBy(order_col)
+    return (
+        phase1.withColumn("__rn", F.row_number().over(w2))
+        .where(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    min_docs: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The boilerplate line set: (fp, line, n_docs) for every line whose
+    md5 occurs in ≥ ``min_docs`` distinct documents. Shuffle key is the
+    16-byte fp (dropDuplicates + groupBy partial-aggregate map-side); the
+    result is by definition small — boilerplate is what repeats."""
+    lines = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+    )
+    return (
+        lines.select(
+            F.md5(F.encode(F.col("line"), "UTF-8")).alias("fp"),
+            F.col("line"),
+            F.col(id_col),
+        )
+        .dropDuplicates(["fp", id_col])
+        .groupBy("fp", "line")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    min_docs: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove corpus-frequent lines from every document (CCNet line-dedup).
+
+    Returns (id_col, text_col, n_lines_cut) with ``text_col`` rebuilt from
+    the surviving lines in original order (empty string if nothing
+    survives). The frequent-line set is computed once and broadcast — the
+    per-line anti-membership test never shuffles document text; only the
+    final reassembly groups lines by document."""
+    bp = boilerplate_lines(df, min_docs, id_col, text_col).select("fp").withColumn(
+        "__bp", F.lit(1)
+    )
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("fp", F.md5(F.encode(F.col("line"), "UTF-8")))
+    marked = lines.join(F.broadcast(bp), on="fp", how="left")
+    return marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(F.collect_list(F.struct("pos", "line", "__bp"))),
+                    lambda s: s["__bp"].isNull(),
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias(text_col),
+        F.sum(F.when(F.col("__bp").isNotNull(), 1).otherwise(0))
+        .cast("int")
+        .alias("n_lines_cut"),
+    )
+
+
+def vocab_topk(df: DataFrame, k: int = 20, text_col: str = "text") -> DataFrame:
+    """Top-k corpus tokens by frequency: (token, n), ties broken by token
+    so the result set is unique. Tokenization is the lower-cased BPE-ish
+    grammar (alpha runs | digit runs | single punctuation). The groupBy
+    partial-aggregates map-side (vocab cardinality ≪ token instances), and
+    the top-k is a TakeOrderedAndProject — no global sort materializes."""
+    toks = df.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(TOKEN_RE_LOWER), F.lit(0)
+            )
+        ).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(k)
+    )

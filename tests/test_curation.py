@@ -1,0 +1,129 @@
+"""Curation operators: per-host cap (salted top-k), corpus-frequency
+boilerplate-line removal, vocabulary top-k, approx-percentile scale path."""
+
+import numpy as np
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from logprocessor_spark.operators.curation import (
+    host_cap,
+    host_of,
+    remove_boilerplate_lines,
+    vocab_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _skewed_hosts(spark, n=2000):
+    """90% of rows on one host (the Zipf head), rest spread over 50."""
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 9, F.lit("mega.example.com"))
+        .otherwise(F.concat(F.lit("tail"), (F.col("id") % 50).cast("string")))
+        .alias("host"),
+    )
+
+
+def test_host_cap_matches_plain_window_on_skew(spark):
+    df = _skewed_hosts(spark)
+    salted = host_cap(df, cap=3, salt_buckets=8)
+    w = Window.partitionBy("host").orderBy("doc_id")
+    plain = (
+        df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .drop("rn")
+    )
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_host_cap_respects_cap_and_order(spark):
+    df = _skewed_hosts(spark, n=500)
+    out = host_cap(df, cap=2).groupBy("host").agg(
+        F.count(F.lit(1)).alias("n"), F.max("doc_id").alias("mx")
+    )
+    rows = {r["host"]: r for r in out.collect()}
+    assert all(r["n"] <= 2 for r in rows.values())
+    # lowest-doc_id-first: the mega host keeps exactly ids {0, 1}
+    assert rows["mega.example.com"]["mx"] == 1
+
+
+def test_host_of_parses_host(spark):
+    r = spark.range(1).select(
+        host_of(F.lit("https://host042.example.com/d/7")).alias("h")
+    ).first()
+    assert r["h"] == "host042.example.com"
+
+
+def test_remove_boilerplate_lines_golden(spark):
+    # "NAV" appears in all 4 docs, "FOOT" in 3; unique bodies survive.
+    docs = spark.createDataFrame(
+        [
+            (0, "NAV\nalpha\nFOOT"),
+            (1, "NAV\nbeta\nFOOT"),
+            (2, "NAV\ngamma\nFOOT"),
+            (3, "NAV\ndelta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_lines(docs, min_docs=3).collect()
+    }
+    assert out[0]["text"] == "alpha" and out[0]["n_lines_cut"] == 2
+    assert out[3]["text"] == "delta" and out[3]["n_lines_cut"] == 1
+
+
+def test_remove_boilerplate_all_lines_cut(spark):
+    docs = spark.createDataFrame(
+        [(i, "SAME") for i in range(5)], "doc_id long, text string"
+    )
+    out = remove_boilerplate_lines(docs, min_docs=2).collect()
+    assert len(out) == 5
+    assert all(r["text"] == "" and r["n_lines_cut"] == 1 for r in out)
+
+
+def test_remove_boilerplate_repeated_line_within_one_doc(spark):
+    # a line repeated inside ONE doc counts that doc once toward min_docs
+    docs = spark.createDataFrame(
+        [(0, "X\nX\nbody0"), (1, "body1")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_lines(docs, min_docs=2).collect()
+    }
+    assert out[0]["text"] == "X\nX\nbody0" and out[0]["n_lines_cut"] == 0
+
+
+def test_vocab_topk_deterministic_ties(spark):
+    docs = spark.createDataFrame(
+        [(0, "b a"), (1, "a b"), (2, "c")], "doc_id long, text string"
+    )
+    rows = vocab_topk(docs, k=2).collect()
+    assert [(r["token"], r["n"]) for r in rows] == [("a", 2), ("b", 2)]
+
+
+def test_approx_percentile_exact_below_accuracy(spark):
+    """The corpus_report_approx premise: approx_percentile(·, q, 10000) is
+    exact (== discrete rank quantile) while group counts < accuracy."""
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    got = {
+        r["lang"]: (r["p50"], r["p90"])
+        for r in d.groupBy("lang")
+        .agg(
+            F.expr("approx_percentile(n_chars, 0.5, 10000)").alias("p50"),
+            F.expr("approx_percentile(n_chars, 0.9, 10000)").alias("p90"),
+        )
+        .collect()
+    }
+    pdf = d.select("lang", "n_chars").toPandas()
+    for lang, grp in pdf.groupby("lang"):
+        xs = np.sort(grp["n_chars"].to_numpy())
+        n = len(xs)
+        # Spark's rule: smallest value with ceil(q*n) values <= it
+        exp = (
+            xs[int(np.ceil(0.5 * n)) - 1],
+            xs[int(np.ceil(0.9 * n)) - 1],
+        )
+        assert got[lang] == exp, lang

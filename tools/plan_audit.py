@@ -224,6 +224,45 @@ def main() -> None:
     )
     shutil.rmtree(out, ignore_errors=True)
 
+    # host cap: two-phase salted top-k = exactly 2 exchanges (host+salt,
+    # then host); both windows are hash-partitioned, never a global sort
+    from logprocessor_spark.operators.curation import (
+        host_cap,
+        remove_boilerplate_lines,
+        vocab_topk,
+    )
+
+    hosted = harness._hosted_docs(spark, sf_dir)
+    p = plan_of(host_cap(hosted, cap=2))
+    check(
+        "host_cap: 2 exchanges (salted phase + exact phase), no global sort",
+        p.count("Exchange") == 2 and "SinglePartition" not in p,
+        f"exchanges={p.count('Exchange')}",
+    )
+
+    # boilerplate removal: the frequent-line set joins via broadcast —
+    # document lines never shuffle for the membership test
+    p = plan_of(
+        remove_boilerplate_lines(harness._boilerplated_pages(spark, sf_dir), 10)
+    )
+    check(
+        "boilerplate: frequent-line set broadcast (BHJ, no SMJ on lines)",
+        "BroadcastHashJoin" in p and "SortMergeJoin" not in p,
+    )
+
+    # vocab top-k: map-side partial count + TakeOrderedAndProject
+    p = plan_of(vocab_topk(spark.read.parquet(f"{sf_dir}/documents.parquet")))
+    check("vocab_topk: TakeOrderedAndProject", "TakeOrderedAndProject" in p)
+    check("vocab_topk: partial agg before shuffle", "partial_count" in p)
+
+    # approx-percentile report: the sketch must partial-aggregate map-side
+    # (mergeable GK sketch) — that is the whole point of the scale path
+    p = plan_of(harness.q_corpus_report_approx(spark, sf_dir))
+    check(
+        "corpus_report_approx: partial (mergeable) percentile sketch",
+        "partial_approx_percentile" in p,
+    )
+
     # sweep: NO registered query may compile to an unguarded cartesian /
     # BroadcastNestedLoopJoin plan. Two deliberate exceptions:
     #  - near_dup_embeddings: the all-pairs verification twin, count-guarded
