@@ -55,6 +55,8 @@ HEADLINE = [
     "near_dup_embeddings_lsh",  # banded-LSH embedding near-dup (scale path)
     "doc_search_topk",      # full-text top-k
     "curate_corpus",        # quality -> lang -> dedup chain (one plan)
+    "host_cap",             # per-host cap (salted two-phase top-k)
+    "boilerplate_removal",  # corpus-frequency line dedup
 ]
 
 

@@ -2080,6 +2080,63 @@ FROM g GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup — the continuous-crawl regime: build a
+    persisted MinHash-LSH index over the corpus once, then dedupe a NEW
+    batch (here: a replayed copy of every doc, ids +100000) against it
+    WITHOUT recomputing corpus signatures. Output is the cross-set pair
+    list (new_id, index_id, jaccard >= 0.8). The oracle re-derives it as
+    exact Jaccard over all cross pairs; LSH recall on exactly these pairs
+    is already proven exact by ``dedup_minhash_pairs`` (its doubled corpus
+    contains every cross pair verified here). Index build/probe params are
+    carried in the index's meta table."""
+    import hashlib
+
+    from .operators.dedup import dedup_against_index, minhash_index_build
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/lp_minhash_idx_{tag}"
+    minhash_index_build(d, path)  # overwrite: deterministic per run
+    return dedup_against_index(new, path, threshold=0.8).orderBy(
+        "new_id", "index_id"
+    )
+
+
+SQL_DEDUP_INCREMENTAL = r"""
+WITH nw AS (
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+), wi AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS wd FROM documents
+), wn AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS wd FROM nw
+), shi AS (
+  SELECT doc_id,
+    CASE WHEN len(wd) >= 3
+         THEN list_distinct(list_transform(range(1, len(wd)-1),
+                i -> wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2]))
+         ELSE [array_to_string(wd, ' ')] END AS s
+  FROM wi
+), shn AS (
+  SELECT doc_id,
+    CASE WHEN len(wd) >= 3
+         THEN list_distinct(list_transform(range(1, len(wd)-1),
+                i -> wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2]))
+         ELSE [array_to_string(wd, ' ')] END AS s
+  FROM wn
+), pairs AS (
+  SELECT n.doc_id AS new_id, i.doc_id AS index_id,
+         len(list_intersect(n.s, i.s)) AS inter, len(n.s) AS ln, len(i.s) AS li
+  FROM shn n JOIN shi i
+    ON least(len(n.s), len(i.s))::DOUBLE / greatest(len(n.s), len(i.s)) >= 0.8
+)
+SELECT new_id, index_id, round(inter::DOUBLE / (ln + li - inter), 4) AS jaccard_sim
+FROM pairs WHERE inter::DOUBLE / (ln + li - inter) >= 0.8
+ORDER BY new_id, index_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "log_parse_fields": q_log_parse_fields,
     "log_parse_errors": q_log_parse_errors,
@@ -2138,6 +2195,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_removal": q_boilerplate_removal,
     "vocab_topk": q_vocab_topk,
     "corpus_report_approx": q_corpus_report_approx,
+    "dedup_incremental": q_dedup_incremental,
 }
 
 ORACLES: dict[str, str] = {
@@ -2199,4 +2257,5 @@ ORACLES: dict[str, str] = {
     "boilerplate_removal": SQL_BOILERPLATE_REMOVAL,
     "vocab_topk": SQL_VOCAB_TOPK,
     "corpus_report_approx": SQL_CORPUS_REPORT_APPROX,
+    "dedup_incremental": SQL_DEDUP_INCREMENTAL,
 }

@@ -198,6 +198,35 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def _band_keys(base: DataFrame, bands: int, r: int) -> DataFrame:
+    """(__id, __sig, ...) -> exploded LSH band keys (__id, band, bhash).
+
+    The band hash chains the r signature elements straight through
+    xxhash64 — no slice().cast(string) render (that allocated a formatted
+    string per row x band; hashing the longs directly is pure arithmetic).
+    Output rows are 24 bytes: this is the ONLY relation that crosses the
+    candidate-join shuffle."""
+    return base.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.try_element_at(F.col("__sig"), F.lit(b * r + i + 1))
+                                for i in range(r)
+                            ]
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("__id", "bk.band", "bk.bhash")
+
+
 def _banded_candidate_pairs(base: DataFrame, bands: int, r: int) -> DataFrame:
     """(__id, __sh, __sig) -> verified candidate pairs (id_a, id_b, sh_a, sh_b).
 
@@ -232,28 +261,7 @@ def _banded_candidate_pairs(base: DataFrame, bands: int, r: int) -> DataFrame:
     base = base.persist().where(
         F.col("__sh").isNotNull() & F.col("__sig").isNotNull()
     )
-    # band hash: chain the r signature elements straight through xxhash64 —
-    # no slice().cast(string) render (that allocated a formatted string per
-    # row x band; hashing the longs directly is pure arithmetic)
-    banded = base.select(
-        "__id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.try_element_at(F.col("__sig"), F.lit(b * r + i + 1))
-                                for i in range(r)
-                            ]
-                        ).alias("bhash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("__id", "bk.band", "bk.bhash")
+    banded = _band_keys(base, bands, r)
 
     cand_ids = (
         banded.alias("a")
@@ -272,6 +280,32 @@ def _banded_candidate_pairs(base: DataFrame, bands: int, r: int) -> DataFrame:
     return (
         cand_ids.join(sh.withColumnsRenamed({"__id": "id_a", "__sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"__id": "id_b", "__sh": "sh_b"}), "id_b")
+    )
+
+
+def _minhash_base(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int,
+    num_hashes: int,
+    arrow_signature: bool,
+) -> DataFrame:
+    """(id, text, ...) -> (__id, __sh, __sig): the shared front half of
+    every minhash path. Two projections: bind the split ONCE per row, then
+    shingle from the bound attribute (see word_shingle_hashes_from's
+    performance contract)."""
+    sig_fn = minhash_signature_arrow if arrow_signature else minhash_signature
+    return (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("__id"),
+            split_words(F.col(text_col)).alias("__w"),
+        )
+        .select(
+            "__id", word_shingle_hashes_from(F.col("__w"), shingle_k).alias("__sh")
+        )
+        .withColumn("__sig", sig_fn(F.col("__sh"), num_hashes))
     )
 
 
@@ -294,20 +328,7 @@ def minhash_lsh_dedup(
     set semantics are unchanged). Shingles are hashed longs end-to-end:
     no shingle strings are built, and the band join shuffles 24-byte rows."""
     r = num_hashes // bands
-    sig_fn = minhash_signature_arrow if arrow_signature else minhash_signature
-    base = (
-        _spread(df)
-        # two projections: bind the split ONCE per row, then shingle from
-        # the bound attribute (see word_shingle_hashes_from's contract)
-        .select(
-            F.col(id_col).alias("__id"),
-            split_words(F.col(text_col)).alias("__w"),
-        )
-        .select(
-            "__id", word_shingle_hashes_from(F.col("__w"), shingle_k).alias("__sh")
-        )
-        .withColumn("__sig", sig_fn(F.col("__sh"), num_hashes))
-    )
+    base = _minhash_base(df, text_col, id_col, shingle_k, num_hashes, arrow_signature)
     cand = _banded_candidate_pairs(base, bands, r)
     return (
         cand.withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
@@ -412,6 +433,122 @@ def near_dup_dedup(
         F.col("doc_id").alias(id_col)
     )
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def minhash_index_build(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    arrow_signature: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a MinHash-LSH index of a corpus for INCREMENTAL dedup — the
+    continuous-crawl regime: each new batch is deduped against everything
+    already ingested without recomputing the corpus's signatures (the
+    committed-scope analog of the reference's always-on ``_id`` upsert,
+    es.clj:102-104, at fuzzy granularity).
+
+    Layout under ``path``:
+    * ``bands/``    — (id, band, bhash): 24 B rows, the candidate-join side.
+    * ``shingles/`` — (id, sh array<long>): verification join-back only.
+    * ``meta/``     — one row (shingle_k, num_hashes, bands); probes and
+      appends validate against it, so an index can never be probed with
+      mismatched LSH parameters (silent recall loss otherwise).
+
+    ``mode='append'`` accretes a new batch into the index (run after the
+    batch itself was deduped). At cluster scale the bands table would be
+    an Iceberg table bucket-partitioned by bhash so a probe co-locates
+    without a full shuffle; plain Parquet keeps the same layout here."""
+    spark = df.sparkSession
+    meta_path = f"{path}/meta"
+    if mode == "append":
+        m = spark.read.parquet(meta_path).first()
+        got = (m["shingle_k"], m["num_hashes"], m["bands"])
+        want = (shingle_k, num_hashes, bands)
+        if got != want:
+            raise ValueError(
+                f"minhash index at {path} was built with "
+                f"(shingle_k, num_hashes, bands)={got}, append got {want}"
+            )
+    r = num_hashes // bands
+    base = _minhash_base(
+        df, text_col, id_col, shingle_k, num_hashes, arrow_signature
+    ).persist().where(F.col("__sh").isNotNull() & F.col("__sig").isNotNull())
+    _band_keys(base, bands, r).withColumnRenamed("__id", id_col).write.mode(
+        mode
+    ).parquet(f"{path}/bands")
+    base.select(
+        F.col("__id").alias(id_col), F.col("__sh").alias("sh")
+    ).write.mode(mode).parquet(f"{path}/shingles")
+    if mode != "append":
+        spark.createDataFrame(
+            [(shingle_k, num_hashes, bands)],
+            "shingle_k int, num_hashes int, bands int",
+        ).write.mode("overwrite").parquet(meta_path)
+    base.unpersist()
+
+
+def minhash_index_append(df: DataFrame, path: str, **kwargs) -> None:
+    """Accrete a (deduped) batch into an existing minhash index."""
+    minhash_index_build(df, path, mode="append", **kwargs)
+
+
+def dedup_against_index(
+    new_df: DataFrame,
+    path: str,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    arrow_signature: bool = True,
+) -> DataFrame:
+    """Near-dup pairs (new_id, index_id, jaccard_sim) between a NEW batch
+    and a persisted minhash index, sim >= threshold.
+
+    Scale shape: the new batch's band keys (24 B rows, typically ≪ index)
+    equi-join the index's bands table — AQE broadcasts the batch side when
+    it fits, so the index side never shuffles; candidates dedupe on the id
+    pair; exact-Jaccard verification joins shingles back for the candidate
+    set only (batch shingles from the persisted base, index shingles as a
+    narrow two-column scan). LSH params come from the index's meta table —
+    a probe cannot silently run with mismatched banding."""
+    spark = new_df.sparkSession
+    m = spark.read.parquet(f"{path}/meta").first()
+    shingle_k, num_hashes, bands = m["shingle_k"], m["num_hashes"], m["bands"]
+    r = num_hashes // bands
+    base = _minhash_base(
+        new_df, text_col, id_col, shingle_k, num_hashes, arrow_signature
+    ).persist().where(F.col("__sh").isNotNull() & F.col("__sig").isNotNull())
+    new_bands = _band_keys(base, bands, r)
+    idx_bands = spark.read.parquet(f"{path}/bands")
+    cand = (
+        new_bands.alias("n")
+        .join(
+            idx_bands.alias("i"),
+            on=[
+                F.col("n.band") == F.col("i.band"),
+                F.col("n.bhash") == F.col("i.bhash"),
+            ],
+        )
+        .select(
+            F.col("n.__id").alias("new_id"), F.col(f"i.{id_col}").alias("index_id")
+        )
+        .dropDuplicates(["new_id", "index_id"])
+    )
+    sh_new = base.select(F.col("__id").alias("new_id"), F.col("__sh").alias("sh_n"))
+    sh_idx = spark.read.parquet(f"{path}/shingles").select(
+        F.col(id_col).alias("index_id"), F.col("sh").alias("sh_i")
+    )
+    return (
+        cand.join(sh_new, "new_id")
+        .join(sh_idx, "index_id")
+        .withColumn("jaccard_sim", jaccard(F.col("sh_n"), F.col("sh_i")))
+        .where(F.col("jaccard_sim") >= threshold)
+        .select("new_id", "index_id", F.round("jaccard_sim", 4).alias("jaccard_sim"))
+    )
 
 
 def simhash(text: Column, bits: int = 64) -> Column:

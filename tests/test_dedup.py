@@ -292,3 +292,68 @@ def test_simhash_arrow_bit_equals_expression(spark, docs):
     assert len(rows) == 52
     for r in rows:
         assert r.e == r.a, r.doc_id
+
+
+def test_incremental_index_matches_cross_set_pairs(with_dupes, tmp_path):
+    """dedup_against_index(new, index(corpus)) must equal the cross-set
+    restriction of the full-batch pair set over corpus ∪ new."""
+    from logprocessor_spark.operators.dedup import (
+        dedup_against_index,
+        minhash_index_build,
+    )
+
+    corpus = with_dupes.where(F.col("doc_id") < 10_000).select("doc_id", "text")
+    new = with_dupes.where(F.col("doc_id") >= 10_000).select("doc_id", "text")
+    path = str(tmp_path / "idx")
+    minhash_index_build(corpus, path)
+    inc = {
+        (r["new_id"], r["index_id"], r["jaccard_sim"])
+        for r in dedup_against_index(new, path, threshold=0.8).collect()
+    }
+    full = minhash_lsh_dedup(corpus.unionByName(new), threshold=0.8)
+    cross = {
+        (r["id_b"], r["id_a"], r["jaccard_sim"])
+        for r in full.where(
+            (F.col("id_a") < 10_000) & (F.col("id_b") >= 10_000)
+        ).collect()
+    }
+    assert inc == cross and len(inc) > 0
+
+
+def test_incremental_index_append_equals_rebuild(with_dupes, tmp_path):
+    """Appending batch B into index(A) must answer probes like index(A∪B)."""
+    from logprocessor_spark.operators.dedup import (
+        dedup_against_index,
+        minhash_index_append,
+        minhash_index_build,
+    )
+
+    a = with_dupes.where(F.col("doc_id") < 25).select("doc_id", "text")
+    b = with_dupes.where(
+        (F.col("doc_id") >= 25) & (F.col("doc_id") < 10_000)
+    ).select("doc_id", "text")
+    probe = with_dupes.where(F.col("doc_id") >= 10_000).select("doc_id", "text")
+
+    p1 = str(tmp_path / "accreted")
+    minhash_index_build(a, p1)
+    minhash_index_append(b, p1)
+    p2 = str(tmp_path / "rebuilt")
+    minhash_index_build(a.unionByName(b), p2)
+
+    r1 = set(map(tuple, dedup_against_index(probe, p1).collect()))
+    r2 = set(map(tuple, dedup_against_index(probe, p2).collect()))
+    assert r1 == r2 and len(r1) > 0
+
+
+def test_incremental_index_append_rejects_mismatched_params(docs, tmp_path):
+    from logprocessor_spark.operators.dedup import (
+        minhash_index_append,
+        minhash_index_build,
+    )
+
+    path = str(tmp_path / "idx")
+    minhash_index_build(docs.limit(5).select("doc_id", "text"), path, bands=8)
+    with pytest.raises(ValueError, match="built with"):
+        minhash_index_append(
+            docs.limit(5).select("doc_id", "text"), path, bands=16
+        )
