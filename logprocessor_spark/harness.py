@@ -887,12 +887,20 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn(
             "quality_band", F.when(F.col("__q") >= 0.5, "hi").otherwise("lo")
         )
+        # qscore has exactly 4 decimals; summing it as a scaled BIGINT is
+        # exact and order-independent (a double avg is neither: partial-agg
+        # order varies, and round(double,4) splits between engines at
+        # representational ties), and HALF_UP of s/n at 4 decimals is the
+        # integer form (2s+n) div (2n)
+        .withColumn("__qi", F.round(F.col("__q") * 10000).cast("bigint"))
         .groupBy("lang", "quality_band")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("__t").cast("bigint").alias("ws_tokens"),
             F.sum("__b").cast("bigint").alias("bpe_tokens"),
-            F.round(F.avg("__q"), 4).alias("mean_quality"),
+            (F.expr("(2 * sum(__qi) + count(1)) div (2 * count(1))") / 10000.0).alias(
+                "mean_quality"
+            ),
             F.expr("percentile(__n, 0.5)").alias("p50_chars"),
             F.expr("percentile(__n, 0.9)").alias("p90_chars"),
         )
@@ -926,7 +934,8 @@ SELECT lang,
   count(*) AS n_docs,
   CAST(sum(n_tokens) AS BIGINT) AS ws_tokens,
   CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
-  round(avg(qscore), 4) AS mean_quality,
+  ((2 * sum(CAST(round(qscore * 10000) AS BIGINT)) + count(*))
+     // (2 * count(*))) / 10000.0 AS mean_quality,
   quantile_cont(n_chars, 0.5) AS p50_chars,
   quantile_cont(n_chars, 0.9) AS p90_chars
 FROM g GROUP BY 1, 2 ORDER BY 1, 2
@@ -1707,12 +1716,12 @@ WITH wd AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents
 ), uni AS (
   SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
-         round(max(c)::DOUBLE / sum(c), 4) AS top_word_frac
+         ((20000 * max(c) + sum(c)) // (2 * sum(c))) / 10000.0 AS top_word_frac
   FROM (SELECT doc_id, g, count(*) AS c
         FROM (SELECT doc_id, unnest(w) AS g FROM wd) GROUP BY doc_id, g)
   GROUP BY doc_id
 ), bi AS (
-  SELECT doc_id, round(max(c)::DOUBLE / sum(c), 4) AS top_bigram_frac
+  SELECT doc_id, ((20000 * max(c) + sum(c)) // (2 * sum(c))) / 10000.0 AS top_bigram_frac
   FROM (SELECT doc_id, g, count(*) AS c
         FROM (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
               FROM wd WHERE len(w) >= 2)
@@ -1839,7 +1848,8 @@ WITH RECURSIVE dd AS (
   SELECT min(doc_id) AS doc_id, text, qscore FROM k GROUP BY md5(text), text, qscore
 ), rep AS (
   SELECT doc_id FROM (
-    SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_word_frac
+    SELECT doc_id,
+           ((20000 * max(c) + sum(c)) // (2 * sum(c))) / 10000.0 AS top_word_frac
     FROM (SELECT doc_id, g2, count(*) AS c
           FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS g2 FROM e)
           GROUP BY doc_id, g2)

@@ -116,21 +116,27 @@ def remove_boilerplate_lines(
     bp = boilerplate_lines(df, min_docs, id_col, text_col).select("fp").withColumn(
         "__bp", F.lit(1)
     )
+    # posexplode_OUTER: a NULL-text doc yields one (NULL pos, NULL line)
+    # row instead of vanishing — null docs must survive curation as rows
+    # (same contract as the dedup operators' null handling)
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode_outer(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     ).withColumn("fp", F.md5(F.encode(F.col("line"), "UTF-8")))
     marked = lines.join(F.broadcast(bp), on="fp", how="left")
     return marked.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.filter(
-                    F.array_sort(F.collect_list(F.struct("pos", "line", "__bp"))),
-                    lambda s: s["__bp"].isNull(),
+        F.when(
+            F.max("pos").isNotNull(),  # NULL text stays NULL, not ""
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.array_sort(F.collect_list(F.struct("pos", "line", "__bp"))),
+                        lambda s: s["__bp"].isNull(),
+                    ),
+                    lambda s: s["line"],
                 ),
-                lambda s: s["line"],
+                "\n",
             ),
-            "\n",
         ).alias(text_col),
         F.sum(F.when(F.col("__bp").isNotNull(), 1).otherwise(0))
         .cast("int")

@@ -9,11 +9,11 @@ windows merge into one cut).
 
 Scale shape: the span grid (window 64, stride 32 — the same grid as
 ``functions.textstats.rolling_fingerprints``) shuffles only (doc_id, start,
-16-byte fp) rows; the benchmark fingerprint set is broadcast; the text
-itself is touched exactly twice, both times inside the scan/projection of
-its own partition — once to fingerprint, once to cut in an Arrow-batched
-pandas UDF (never per-row Python). Docs with no flagged span pass through
-with zero string rebuilding.
+16-byte fp) rows; the benchmark fingerprint set is broadcast; the cut runs
+in an Arrow-batched pandas UDF (never per-row Python) over ONLY the
+flagged docs — the clean-doc common case stays entirely JVM-side and pays
+no Arrow round-trip (split-and-union, because Spark evaluates Python UDFs
+unconditionally even under when/otherwise).
 """
 
 from __future__ import annotations
@@ -86,16 +86,23 @@ def remove_contaminated_spans(
         .agg(F.sort_array(F.collect_set("start")).alias("__cut_starts"))
     )
     cut = _cut_spans_udf(window)
+    # split-and-union, NOT when/otherwise: Spark extracts Python UDFs out
+    # of conditionals and evaluates them for EVERY row, so a when-guard
+    # would still ship 100% of document text through Arrow even when <1%
+    # of docs are flagged. Filtering first keeps the clean-doc common case
+    # entirely JVM-side. ``flagged`` is persisted because both branches
+    # reference it (it is small by construction: contaminated docs only).
+    flagged = flagged.persist()
     joined = train.join(flagged, on=id_col, how="left")
-    return (
-        joined.withColumn(
-            "n_spans_cut", F.coalesce(F.size("__cut_starts"), F.lit(0))
-        )
-        .withColumn(
-            text_col,
-            F.when(
-                F.col("__cut_starts").isNull(), F.col(text_col)
-            ).otherwise(cut(F.col(text_col), F.col("__cut_starts"))),
-        )
+    untouched = (
+        joined.where(F.col("__cut_starts").isNull())
+        .withColumn("n_spans_cut", F.lit(0))
         .drop("__cut_starts")
     )
+    touched = (
+        joined.where(F.col("__cut_starts").isNotNull())
+        .withColumn("n_spans_cut", F.size("__cut_starts"))
+        .withColumn(text_col, cut(F.col(text_col), F.col("__cut_starts")))
+        .drop("__cut_starts")
+    )
+    return untouched.unionByName(touched)

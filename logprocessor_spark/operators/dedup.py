@@ -514,7 +514,12 @@ def dedup_against_index(
     pair; exact-Jaccard verification joins shingles back for the candidate
     set only (batch shingles from the persisted base, index shingles as a
     narrow two-column scan). LSH params come from the index's meta table —
-    a probe cannot silently run with mismatched banding."""
+    a probe cannot silently run with mismatched banding.
+
+    The persisted base stays cached until the returned (lazy) DataFrame is
+    garbage collected — Spark's ContextCleaner unpersists it then, same
+    lifecycle as ``_banded_candidate_pairs``; an eager unpersist here
+    would force the signature to recompute for each of its two uses."""
     spark = new_df.sparkSession
     m = spark.read.parquet(f"{path}/meta").first()
     shingle_k, num_hashes, bands = m["shingle_k"], m["num_hashes"], m["bands"]

@@ -23,17 +23,29 @@ from .dedup import split_words, word_shingles
 
 
 def _top_frac(grams: DataFrame, id_col: str, out_name: str) -> DataFrame:
-    """(id, gram) -> per-id max(count)/sum(count), 0.0 when no grams.
-    Grams are xxhash64-compressed before the shuffle: counts over hashed
-    grams equal counts over grams up to 2^-64 collisions."""
+    """(id, gram) -> per-id round(max(count)/sum(count), 4), 0.0 when no
+    grams. Grams are xxhash64-compressed before the shuffle: counts over
+    hashed grams equal counts over grams up to 2^-64 collisions.
+
+    The rounding is EXACT integer arithmetic, not round(double, 4):
+    HALF_UP of m/s at 4 decimals == (20000*m + s) div (2*s) / 1e4 for
+    positive ints. round() on the double ratio differs between engines at
+    representational ties (Spark rounds the shortest decimal repr, DuckDB
+    rounds x*1e4 — the 2.675 -> 2.68 vs 2.67 split), which would make the
+    oracle hash flaky; the integer form is bit-identical everywhere."""
     counts = (
         grams.select(F.col(id_col), F.xxhash64("gram").alias("g"))
         .groupBy(id_col, "g")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    return counts.groupBy(id_col).agg(
-        F.round(F.max("c") / F.sum("c"), 4).alias(out_name),
-        F.sum("c").cast("bigint").alias(f"__n_{out_name}"),
+    return (
+        counts.groupBy(id_col)
+        .agg(F.max("c").alias("__m"), F.sum("c").alias("__s"))
+        .select(
+            F.col(id_col),
+            (F.expr("(20000 * __m + __s) div (2 * __s)") / 10000.0).alias(out_name),
+            F.col("__s").cast("bigint").alias(f"__n_{out_name}"),
+        )
     )
 
 

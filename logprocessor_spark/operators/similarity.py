@@ -38,7 +38,13 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """NULL when either vector has zero norm (or is NULL): Spark's double
+    0/0 is NaN, and Spark orders NaN ABOVE every number, so an unguarded
+    NaN would sail through every ``sim >= tau`` filter while the DuckDB
+    oracle (0/0 -> NULL) drops it. Zero-norm embeddings exist in real
+    corpora (empty docs); they are similar to nothing."""
+    den = _norm(a) * _norm(b)
+    return F.when(den > 0, _dot(a, b) / den)
 
 
 def cosine_arrow(a: Column, b: Column) -> Column:
@@ -66,11 +72,16 @@ def cosine_arrow(a: Column, b: Column) -> Column:
                 dot += A[:, j] * B[:, j]
                 na += A[:, j] * A[:, j]
                 nb += B[:, j] * B[:, j]
-            vals = iter(dot / (np.sqrt(na) * np.sqrt(nb)))
+            den = np.sqrt(na) * np.sqrt(nb)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                res = dot / den
+            # zero-norm -> None, matching the expression path's NULL (a
+            # NaN here would pass Spark's `>= tau` — NaN sorts above all)
+            vals = iter((float(r) if d > 0 else None) for r, d in zip(res, den))
         else:
             vals = iter(())
         return pd.Series(
-            [float(next(vals)) if ok else None for ok in mask], index=x.index, dtype=object
+            [next(vals) if ok else None for ok in mask], index=x.index, dtype=object
         )
 
     _cos.__annotations__ = {"x": pd.Series, "y": pd.Series, "return": pd.Series}

@@ -58,7 +58,10 @@ def asof_join(
     behave like any skewed window: pre-split hot keys upstream if needed.
     """
     keys = [key] if isinstance(key, str) else list(key)
-    rc = [c for c in right_cols if c not in keys]
+    # right_ts is always carried as f"{right_ts}{suffix}"; listing it in
+    # right_cols too would build a duplicate output column and fail at
+    # unionByName with an ambiguous-reference error
+    rc = [c for c in right_cols if c not in keys and c != right_ts]
     # side 0 sorts before side 1 at equal ts -> a right row at exactly
     # left_ts is visible to that left row (inclusive as-of)
     r = right.select(
@@ -130,8 +133,14 @@ def range_join_binned(
                 (F.unix_timestamp(F.col(end_col)) / bin_seconds).cast("long"),
             )
         ),
+    ).withColumnsRenamed({key: "__rkey", "__bin": "__rbin"})
+    # the exact between-predicate lives IN the join condition, not a
+    # post-join filter: a filter after an outer join silently re-imposes
+    # inner semantics (unmatched rows fail ts BETWEEN NULL AND NULL).
+    # Catalyst still extracts the two equalities as equi-join keys.
+    cond = (
+        (ev[key] == iv["__rkey"])
+        & (ev["__bin"] == iv["__rbin"])
+        & F.col(ts_col).between(F.col(start_col), F.col(end_col))
     )
-    joined = ev.join(iv, on=[key, "__bin"], how=how).where(
-        F.col(ts_col).between(F.col(start_col), F.col(end_col))
-    )
-    return joined.drop("__bin")
+    return ev.join(iv, on=cond, how=how).drop("__bin", "__rkey", "__rbin")

@@ -127,3 +127,14 @@ def test_approx_percentile_exact_below_accuracy(spark):
             xs[int(np.ceil(0.9 * n)) - 1],
         )
         assert got[lang] == exp, lang
+
+
+def test_remove_boilerplate_preserves_null_docs(spark):
+    docs = spark.createDataFrame(
+        [(0, "NAV\nalpha"), (1, "NAV\nbeta"), (2, None), (3, "NAV\ngamma")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_boilerplate_lines(docs, min_docs=3).collect()}
+    assert set(out) == {0, 1, 2, 3}  # the NULL doc survives as a row
+    assert out[2]["text"] is None and out[2]["n_lines_cut"] == 0
+    assert out[0]["text"] == "alpha"

@@ -267,3 +267,33 @@ def test_cosine_arrow_bit_equals_expression(spark):
     assert len(rows) > 0
     for r in rows:
         assert r.e == r.a
+
+
+def test_cosine_null_on_zero_norm_both_paths(spark):
+    """Zero-norm vectors are similar to nothing: both cosine paths must
+    yield NULL (an unguarded NaN would pass every `>= tau` filter, since
+    Spark orders NaN above all numbers) — matching DuckDB's 0/0 -> NULL."""
+    from logprocessor_spark.operators.similarity import cosine, cosine_arrow
+
+    df = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0], [1.0, 0.0]),
+            (1, [0.0, 0.0], [0.0, 0.0]),
+            (2, [1.0, 0.0], [1.0, 0.0]),
+        ],
+        "i long, a array<double>, b array<double>",
+    )
+    rows = df.select(
+        "i",
+        cosine(F.col("a"), F.col("b")).alias("ce"),
+        cosine_arrow(F.col("a"), F.col("b")).alias("ca"),
+    ).collect()
+    by_i = {r["i"]: r for r in rows}
+    assert by_i[0]["ce"] is None and by_i[0]["ca"] is None
+    assert by_i[1]["ce"] is None and by_i[1]["ca"] is None
+    assert abs(by_i[2]["ce"] - 1.0) < 1e-12 and abs(by_i[2]["ca"] - 1.0) < 1e-12
+    # and a zero-norm pair never survives a similarity threshold
+    kept = df.select("i", cosine(F.col("a"), F.col("b")).alias("s")).where(
+        F.col("s") >= 0.0
+    )
+    assert {r["i"] for r in kept.collect()} == {2}

@@ -142,3 +142,48 @@ def test_pack_sequences_invariants(spark):
             # each doc starts exactly where the previous one ended
             assert (r.seq_bin, r.bin_offset) == (cum // 512, cum % 512), (b, r.doc_id)
             cum += r.n_tokens
+
+
+def test_range_join_left_preserves_unmatched(spark):
+    """how='left' must keep events with no covering interval (NULL-extended)
+    — the between-predicate lives in the join condition, not a post-filter."""
+    from logprocessor_spark.operators.temporal import range_join_binned
+
+    ev = spark.createDataFrame(
+        [("k1", "2024-01-01 00:05:00"), ("k1", "2024-01-01 09:00:00"),
+         ("k2", "2024-01-01 00:05:00")],
+        "k string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    iv = spark.createDataFrame(
+        [("k1", "2024-01-01 00:00:00", "2024-01-01 01:00:00", "a")],
+        "k string, start string, end string, tag string",
+    ).withColumn("start", F.col("start").cast("timestamp")).withColumn(
+        "end", F.col("end").cast("timestamp")
+    )
+    out = range_join_binned(ev, iv, key="k", how="left").collect()
+    assert len(out) == 3
+    got = {(r["k"], str(r["ts"]), r["tag"]) for r in out}
+    assert ("k1", "2024-01-01 00:05:00", "a") in got
+    # bin-matching but out-of-interval, and wrong-key events survive with NULLs
+    assert ("k1", "2024-01-01 09:00:00", None) in got
+    assert ("k2", "2024-01-01 00:05:00", None) in got
+    # inner drops them
+    inner = range_join_binned(ev, iv, key="k", how="inner").collect()
+    assert len(inner) == 1
+
+
+def test_asof_join_right_ts_in_right_cols_ok(spark):
+    """Listing the right timestamp column in right_cols must not build a
+    duplicate output column."""
+    from logprocessor_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("k", "2024-01-01 00:10:00")], "k string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:00", 1.0)], "k string, ts string, v double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = asof_join(left, right, key="k", right_cols=["ts", "v"])
+    assert out.columns.count("ts_asof") == 1
+    r = out.first()
+    assert r["v_asof"] == 1.0 and str(r["ts_asof"]).startswith("2024-01-01 00:00")
