@@ -177,6 +177,68 @@ def sessionize(
     )
 
 
+def stream_dedup_against_index(
+    docs_stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    accrete: bool = True,
+    available_now: bool = True,
+):
+    """Streaming fuzzy dedup against the persisted MinHash index — the
+    continuous-crawl loop as a stream: each micro-batch (1) near-dup
+    dedupes itself (LSH pairs -> connected components -> min-id survivor),
+    (2) drops docs near-duplicating anything ALREADY ingested by probing
+    ``operators.dedup``'s index, (3) appends survivors to the sink and,
+    with ``accrete=True``, into the index so later batches dedupe against
+    them too. ``foreachBatch`` is the right binding: the probe is a batch
+    join against an external index table that the stream must also WRITE —
+    not expressible as a stream-static join.
+
+    Delivery caveat (standard foreachBatch): retries are at-least-once.
+    Re-appended band rows never change dedup DECISIONS (candidates are
+    deduped on id pairs before verification), but the sink append can
+    double-write a replayed batch — production would make step 3 a
+    batchId-keyed idempotent commit (Iceberg overwrite-by-filter or the
+    batch pipeline's ledger), which this sandbox's plain-parquet sink
+    does not model. Returns the StreamingQuery."""
+    from ..operators.dedup import (
+        dedup_against_index,
+        minhash_index_append,
+        near_dup_dedup,
+    )
+
+    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+        batch = batch_df.persist()
+        kept = near_dup_dedup(
+            batch, text_col=text_col, id_col=id_col, threshold=threshold
+        )
+        dup_new = (
+            dedup_against_index(
+                kept, index_path, threshold=threshold,
+                text_col=text_col, id_col=id_col,
+            )
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
+        )
+        survivors = kept.join(dup_new, on=id_col, how="left_anti").persist()
+        survivors.write.mode("append").parquet(out_path)
+        if accrete:
+            minhash_index_append(survivors.select(id_col, text_col), index_path)
+        survivors.unpersist()
+        batch.unpersist()
+
+    writer = docs_stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_curate(
     docs_stream: DataFrame,
     text_col: str = "text",

@@ -205,3 +205,52 @@ def test_stream_curate_matches_batch(spark, tmp_path):
     assert got == want
     assert len(got) > 0
     assert all(t.endswith("mail [EMAIL]") for _, t, _ in got)
+
+
+def test_stream_dedup_against_index_accretes(spark, tmp_path):
+    """The continuous-crawl loop: batch 1's survivors enter the index, so
+    batch 2's copies of them are dropped; index-historical dups are
+    dropped; novel docs survive."""
+    from logprocessor_spark.operators.dedup import minhash_index_build
+    from logprocessor_spark.streaming.pipeline import stream_dedup_against_index
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.limit(20).select("doc_id", "text")
+    idx = str(tmp_path / "idx")
+    minhash_index_build(corpus, idx)
+
+    base = docs.orderBy("doc_id").limit(30).collect()
+    # batch 1: one historical dup (doc 0's text) + one novel doc (25)
+    b1 = spark.createDataFrame(
+        [(1000, base[0]["text"]), (1001, base[25]["text"])],
+        "doc_id long, text string",
+    )
+    # batch 2: a copy of batch 1's novel survivor + another novel doc (26)
+    b2 = spark.createDataFrame(
+        [(2000, base[25]["text"]), (2001, base[26]["text"])],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "in")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    out = str(tmp_path / "out")
+
+    def run(tag):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "10")
+            .parquet(src)
+        )
+        q = stream_dedup_against_index(
+            stream, idx, out, str(tmp_path / f"ckpt{tag}")
+        )
+        q.awaitTermination(120)
+
+    run("a")
+    got1 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got1 == {1001}  # 1000 was a dup of the indexed corpus
+
+    b2.coalesce(1).write.mode("append").parquet(src)
+    run("b")
+    got2 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    # 2000 duplicated 1001, which was accreted into the index after batch 1
+    assert got2 == {1001, 2001}
