@@ -2147,6 +2147,59 @@ ORDER BY new_id, index_id
 """
 
 
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked token-budget selection, 5000 BPE-ish tokens per
+    language: the training-mix step "fill the budget with the best docs".
+    Registered with the HISTOGRAM variant (no corpus-wide sort — the
+    quality histogram is ≤ 10001 rows/group, only the budget-boundary
+    bucket's docs sort), verified against the oracle computing the EXACT
+    per-group window — the hash gate doubles as the equivalence proof."""
+    from .operators.curation import select_token_budget_histogram
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        quality_score(F.col("text")).alias("qscore"),
+        bpe_ish_token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+    return (
+        select_token_budget_histogram(d, budget=5000)
+        .select("doc_id", "lang", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
+SQL_TOKEN_BUDGET_SELECT = r"""
+WITH f AS (
+  SELECT doc_id, lang,
+    length(text) AS n_chars,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe,
+    len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+    len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+    len(regexp_extract_all(text, '(?i)\b(the|and|of|to|a|in|is|it)\b')) AS n_stop
+  FROM documents
+), g AS (
+  SELECT doc_id, lang, n_bpe,
+    round(0.4 * least((n_stop / (CASE WHEN n_tokens > 0 THEN n_tokens ELSE 1 END)) * 4, 1.0)
+        + 0.3 * (CASE WHEN (n_chars - (n_tokens - 1)) / (CASE WHEN n_tokens > 0 THEN n_tokens ELSE 1 END) >= 3
+                       AND (n_chars - (n_tokens - 1)) / (CASE WHEN n_tokens > 0 THEN n_tokens ELSE 1 END) <= 10
+                      THEN 1.0 ELSE 0.0 END)
+        + 0.2 * (1.0 - least((n_punct / (CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END)) * 5, 1.0))
+        + 0.1 * (1.0 - least((n_digit / (CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END)) * 5, 1.0)), 4) AS qscore
+  FROM f
+), c AS (
+  SELECT doc_id, lang, n_bpe,
+    coalesce(sum(n_bpe) OVER (PARTITION BY lang ORDER BY qscore DESC, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS prior
+  FROM g
+)
+SELECT doc_id, lang, n_bpe AS n_tokens FROM c WHERE prior < 5000 ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "log_parse_fields": q_log_parse_fields,
     "log_parse_errors": q_log_parse_errors,
@@ -2206,6 +2259,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_topk": q_vocab_topk,
     "corpus_report_approx": q_corpus_report_approx,
     "dedup_incremental": q_dedup_incremental,
+    "token_budget_select": q_token_budget_select,
 }
 
 ORACLES: dict[str, str] = {
@@ -2268,4 +2322,5 @@ ORACLES: dict[str, str] = {
     "vocab_topk": SQL_VOCAB_TOPK,
     "corpus_report_approx": SQL_CORPUS_REPORT_APPROX,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+    "token_budget_select": SQL_TOKEN_BUDGET_SELECT,
 }

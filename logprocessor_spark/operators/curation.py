@@ -144,6 +144,107 @@ def remove_boilerplate_lines(
     )
 
 
+def select_token_budget(
+    df: DataFrame,
+    budget: int,
+    by: str = "lang",
+    tokens_col: str = "n_tokens",
+    quality_col: str = "qscore",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-ranked token-budget selection: per ``by`` group, keep the
+    best-quality docs until the running token total reaches ``budget``
+    (inclusive of the doc that crosses it — partial docs don't exist).
+    Deterministic: ties in quality break by ascending id.
+
+    This is the training-mix construction step ("fill N tokens per
+    language with the best documents"). EXACT form: a per-group window
+    cumsum, which globally sorts each group — correct and oracle-
+    verifiable, but a low-cardinality ``by`` (5 languages) means 5 fat
+    sort partitions at 10^12 docs. The scale path is
+    ``select_token_budget_threshold``: find the quality cutoff with a
+    mergeable sketch and filter — no global sort, one extra scan."""
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.desc(quality_col), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    return df.withColumn("__prior", prior).where(
+        F.col("__prior") < budget
+    ).drop("__prior")
+
+
+def select_token_budget_histogram(
+    df: DataFrame,
+    budget: int,
+    by: str = "lang",
+    tokens_col: str = "n_tokens",
+    quality_col: str = "qscore",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Scale path of ``select_token_budget`` — IDENTICAL output, no
+    corpus-wide sort. Exploits the quality score's fixed 4-decimal
+    resolution: per (group, quality-bucket) token masses form a histogram
+    of ≤ 10001 rows per group regardless of corpus size, so the
+    budget-boundary walk is a window over a TINY relation.
+
+    * Buckets whose cumulative-from-the-top token mass fits the budget
+      keep every doc (a broadcast semi-join — no sort, no shuffle of df).
+    * Exactly one bucket per group straddles the budget; only ITS docs
+      (one quality value, one group) sort by id to pick the docs whose
+      running total still fits — the same tie-break the exact form uses.
+
+    The heavy relation does one partial-aggregatable groupBy and one
+    narrow window over the boundary bucket; the 5-fat-partition global
+    sort of the exact form never happens. Equality with
+    ``select_token_budget`` is asserted in pytest and by the driver's
+    oracle gate (the SQL twin is the exact window)."""
+    qkey = F.round(F.col(quality_col) * 10000).cast("int").alias("__qk")
+    hist = (
+        df.select(F.col(by), qkey, F.col(tokens_col))
+        .groupBy(by, "__qk")
+        .agg(F.sum(tokens_col).alias("__bt"))
+    )
+    wh = (
+        Window.partitionBy(by)
+        .orderBy(F.desc("__qk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # persist the (tiny) histogram: both branches below consume it, and
+    # without the cache boundary each would recompute the corpus groupBy
+    hist = hist.withColumn(
+        "__prior", F.coalesce(F.sum("__bt").over(wh), F.lit(0))
+    ).persist()
+    # strict < for "whole bucket fits": a bucket whose cumulative total
+    # EQUALS the budget goes through the boundary walk instead, so a
+    # trailing zero-token doc (prior == budget) is dropped exactly as the
+    # window form drops it
+    full = hist.where(F.col("__prior") + F.col("__bt") < budget).select(by, "__qk")
+    boundary = hist.where(
+        (F.col("__prior") < budget) & (F.col("__prior") + F.col("__bt") >= budget)
+    ).select(by, "__qk", "__prior")
+
+    keyed = df.withColumn("__qk", F.round(F.col(quality_col) * 10000).cast("int"))
+    kept_full = keyed.join(F.broadcast(full), on=[by, "__qk"], how="leftsemi")
+    bdocs = keyed.join(F.broadcast(boundary), on=[by, "__qk"])
+    wb = (
+        Window.partitionBy(by, "__qk")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bkept = (
+        bdocs.withColumn(
+            "__p", F.col("__prior") + F.coalesce(F.sum(tokens_col).over(wb), F.lit(0))
+        )
+        .where(F.col("__p") < budget)
+        .drop("__prior", "__p")
+    )
+    # joins with an `on` list reorder the key columns first — restore the
+    # caller's column order so both forms are schema-interchangeable
+    return kept_full.unionByName(bkept).select(*df.columns)
+
+
 def vocab_topk(df: DataFrame, k: int = 20, text_col: str = "text") -> DataFrame:
     """Top-k corpus tokens by frequency: (token, n), ties broken by token
     so the result set is unique. Tokenization is the lower-cased BPE-ish

@@ -138,3 +138,55 @@ def test_remove_boilerplate_preserves_null_docs(spark):
     assert set(out) == {0, 1, 2, 3}  # the NULL doc survives as a row
     assert out[2]["text"] is None and out[2]["n_lines_cut"] == 0
     assert out[0]["text"] == "alpha"
+
+
+def _budget_docs(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, "g1" if i % 2 == 0 else "g2",
+         round(rng.choice([0.1, 0.25, 0.25, 0.5, 0.5, 0.9]), 4),
+         rng.choice([0, 5, 10, 17]))
+        for i in range(400)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, lang string, qscore double, n_tokens long"
+    )
+
+
+def test_token_budget_histogram_equals_window(spark):
+    from logprocessor_spark.operators.curation import (
+        select_token_budget,
+        select_token_budget_histogram,
+    )
+
+    d = _budget_docs(spark)
+    for budget in (1, 37, 200, 10**6):
+        exact = select_token_budget(d, budget)
+        hist = select_token_budget_histogram(d, budget)
+        assert exact.exceptAll(hist).count() == 0, budget
+        assert hist.exceptAll(exact).count() == 0, budget
+
+
+def test_token_budget_exact_fit_and_zero_token_edge(spark):
+    """A bucket whose cumulative mass EQUALS the budget: kept docs stop at
+    the budget, and a trailing zero-token doc (prior == budget) is dropped
+    by both forms."""
+    from logprocessor_spark.operators.curation import (
+        select_token_budget,
+        select_token_budget_histogram,
+    )
+
+    d = spark.createDataFrame(
+        [
+            (0, "g", 0.9, 10),
+            (1, "g", 0.9, 10),
+            (2, "g", 0.9, 0),   # prior == 20 == budget -> dropped
+            (3, "g", 0.5, 10),  # lower bucket, over budget -> dropped
+        ],
+        "doc_id long, lang string, qscore double, n_tokens long",
+    )
+    for fn in (select_token_budget, select_token_budget_histogram):
+        got = {r["doc_id"] for r in fn(d, budget=20).collect()}
+        assert got == {0, 1}, fn.__name__

@@ -263,6 +263,17 @@ def main() -> None:
         "partial_approx_percentile" in p,
     )
 
+    # token-budget selection (histogram form): the corpus must reach the
+    # output through broadcast joins against the tiny histogram — its only
+    # windows are the histogram cumsum and the boundary-bucket walk, never
+    # a corpus-wide quality sort
+    p = plan_of(harness.q_token_budget_select(spark, sf_dir))
+    check(
+        "token_budget: broadcast histogram selection, histogram cached",
+        p.count("BroadcastHashJoin") >= 2 and "InMemoryTableScan" in p,
+        f"bhj={p.count('BroadcastHashJoin')} imts={p.count('InMemoryTableScan')}",
+    )
+
     # sweep: NO registered query may compile to an unguarded cartesian /
     # BroadcastNestedLoopJoin plan. Two deliberate exceptions:
     #  - near_dup_embeddings: the all-pairs verification twin, count-guarded
