@@ -200,9 +200,13 @@ def select_token_budget_histogram(
     sort of the exact form never happens. Equality with
     ``select_token_budget`` is asserted in pytest and by the driver's
     oracle gate (the SQL twin is the exact window)."""
-    qkey = F.round(F.col(quality_col) * 10000).cast("int").alias("__qk")
+    # NULL quality -> sentinel bucket -1: it sorts below every real score
+    # in DESC order, exactly where desc() (nulls-last) ranks NULL in the
+    # exact window form — a bare NULL key would never equi-join and those
+    # docs would silently vanish from this form only
+    qk = F.coalesce(F.round(F.col(quality_col) * 10000).cast("int"), F.lit(-1))
     hist = (
-        df.select(F.col(by), qkey, F.col(tokens_col))
+        df.select(F.col(by), qk.alias("__qk"), F.col(tokens_col))
         .groupBy(by, "__qk")
         .agg(F.sum(tokens_col).alias("__bt"))
     )
@@ -225,7 +229,7 @@ def select_token_budget_histogram(
         (F.col("__prior") < budget) & (F.col("__prior") + F.col("__bt") >= budget)
     ).select(by, "__qk", "__prior")
 
-    keyed = df.withColumn("__qk", F.round(F.col(quality_col) * 10000).cast("int"))
+    keyed = df.withColumn("__qk", qk)
     kept_full = keyed.join(F.broadcast(full), on=[by, "__qk"], how="leftsemi")
     bdocs = keyed.join(F.broadcast(boundary), on=[by, "__qk"])
     wb = (

@@ -190,3 +190,19 @@ def test_token_budget_exact_fit_and_zero_token_edge(spark):
     for fn in (select_token_budget, select_token_budget_histogram):
         got = {r["doc_id"] for r in fn(d, budget=20).collect()}
         assert got == {0, 1}, fn.__name__
+
+
+def test_token_budget_null_quality_docs_rank_last_in_both_forms(spark):
+    from logprocessor_spark.operators.curation import (
+        select_token_budget,
+        select_token_budget_histogram,
+    )
+
+    d = spark.createDataFrame(
+        [(0, "g", 0.9, 10), (1, "g", None, 10), (2, "g", 0.5, 10)],
+        "doc_id long, lang string, qscore double, n_tokens long",
+    )
+    for budget, want in ((25, {0, 2, 1}), (15, {0, 2}), (10, {0})):
+        for fn in (select_token_budget, select_token_budget_histogram):
+            got = {r["doc_id"] for r in fn(d, budget=budget).collect()}
+            assert got == want, (fn.__name__, budget)
