@@ -2200,6 +2200,69 @@ SELECT doc_id, lang, n_bpe AS n_tokens FROM c WHERE prior < 5000 ORDER BY doc_id
 """
 
 
+def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-snapshot crawl delta (operators/delta.py): snapshot B drops
+    every 5th page, edits every 7th, and adds 50 new URLs; every URL is
+    classified added/removed/changed/unchanged via ONE full-outer join on
+    (url, md5) — the only join type the oracle gate had not yet exercised.
+    Both snapshots derive from doc_id arithmetic so the oracle rebuilds
+    them exactly."""
+    from .operators.delta import crawl_delta
+
+    d = _t(spark, sf_dir, "documents")
+    ii = F.col("doc_id").cast("int")
+    url = F.format_string(
+        "https://host%03d.example.com/d/%d", ii % 200, F.col("doc_id")
+    )
+    old = d.select(url.alias("url"), F.md5(F.encode("text", "UTF-8")).alias("fp"))
+    new_text = F.when(
+        ii % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+    ).otherwise(F.col("text"))
+    survived = d.where(ii % 5 != 0).select(
+        url.alias("url"), F.md5(F.encode(new_text, "UTF-8")).alias("fp")
+    )
+    added = (
+        d.where(F.col("doc_id") < 50)
+        .select((F.col("doc_id") + 200000).alias("nid"), "text")
+        .select(
+            F.format_string(
+                "https://host%03d.example.com/d/%d",
+                F.col("nid").cast("int") % 200,
+                F.col("nid"),
+            ).alias("url"),
+            F.md5(F.encode("text", "UTF-8")).alias("fp"),
+        )
+    )
+    return crawl_delta(old, survived.unionByName(added)).orderBy("url")
+
+
+SQL_CRAWL_DELTA = """
+WITH old AS (
+  SELECT printf('https://host%03d.example.com/d/%d',
+                CAST(doc_id % 200 AS INT), doc_id) AS url,
+         md5(text) AS fp
+  FROM documents
+), nw AS (
+  SELECT printf('https://host%03d.example.com/d/%d',
+                CAST(doc_id % 200 AS INT), doc_id) AS url,
+         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS fp
+  FROM documents WHERE doc_id % 5 <> 0
+  UNION ALL
+  SELECT printf('https://host%03d.example.com/d/%d',
+                CAST((doc_id + 200000) % 200 AS INT), doc_id + 200000) AS url,
+         md5(text) AS fp
+  FROM documents WHERE doc_id < 50
+)
+SELECT coalesce(o.url, n.url) AS url,
+  CASE WHEN o.fp IS NULL THEN 'added'
+       WHEN n.fp IS NULL THEN 'removed'
+       WHEN o.fp <> n.fp THEN 'changed'
+       ELSE 'unchanged' END AS status
+FROM old o FULL OUTER JOIN nw n ON o.url = n.url
+ORDER BY url
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "log_parse_fields": q_log_parse_fields,
     "log_parse_errors": q_log_parse_errors,
@@ -2260,6 +2323,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_report_approx": q_corpus_report_approx,
     "dedup_incremental": q_dedup_incremental,
     "token_budget_select": q_token_budget_select,
+    "crawl_delta": q_crawl_delta,
 }
 
 ORACLES: dict[str, str] = {
@@ -2323,4 +2387,5 @@ ORACLES: dict[str, str] = {
     "corpus_report_approx": SQL_CORPUS_REPORT_APPROX,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "token_budget_select": SQL_TOKEN_BUDGET_SELECT,
+    "crawl_delta": SQL_CRAWL_DELTA,
 }

@@ -67,3 +67,21 @@ def test_aqe_splits_skewed_join_partition(spark, skew_confs):
     assert "isFinalPlan=true" in plan
     assert "SortMergeJoin(skew=true)" in plan, plan[:1500]
     assert "AQEShuffleRead coalesced and skewed" in plan, plan[:1500]
+
+
+def test_crawl_delta_golden(spark):
+    from logprocessor_spark.operators.delta import crawl_delta
+
+    old = spark.createDataFrame(
+        [("u1", "a"), ("u2", "b"), ("u3", "c")], "url string, fp string"
+    )
+    new = spark.createDataFrame(
+        [("u2", "b"), ("u3", "C"), ("u4", "d")], "url string, fp string"
+    )
+    got = {r["url"]: r["status"] for r in crawl_delta(old, new).collect()}
+    assert got == {
+        "u1": "removed",
+        "u2": "unchanged",
+        "u3": "changed",
+        "u4": "added",
+    }
