@@ -206,3 +206,63 @@ def test_token_budget_null_quality_docs_rank_last_in_both_forms(spark):
         for fn in (select_token_budget, select_token_budget_histogram):
             got = {r["doc_id"] for r in fn(d, budget=budget).collect()}
             assert got == want, (fn.__name__, budget)
+
+
+def test_boilerplate_invariants_random_corpora(spark):
+    """Property check over randomized corpora: (1) with an unreachable
+    threshold the text round-trips byte-exactly; (2) kept+cut line counts
+    always sum to the original; (3) no boilerplate line survives."""
+    import random
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        lines_pool = [f"L{j}" for j in range(8)]
+        rows = [
+            (i, "\n".join(rng.choice(lines_pool) for _ in range(rng.randint(1, 6))))
+            for i in range(60)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+        # (1) round-trip when nothing can reach the threshold
+        rt = remove_boilerplate_lines(docs, min_docs=10**9)
+        orig = dict(rows)
+        for r in rt.collect():
+            assert r["text"] == orig[r["doc_id"]] and r["n_lines_cut"] == 0
+
+        # (2)+(3) against an independently computed frequent-line set
+        from collections import Counter
+
+        freq = Counter()
+        for _, t in rows:
+            for ln in set(t.split("\n")):
+                freq[ln] += 1
+        bp = {ln for ln, c in freq.items() if c >= 30}
+        out = remove_boilerplate_lines(docs, min_docs=30)
+        for r in out.collect():
+            total = len(orig[r["doc_id"]].split("\n"))
+            kept = r["text"].split("\n") if r["text"] else []
+            assert len(kept) + r["n_lines_cut"] == total
+            assert not (set(kept) & bp)
+
+
+def test_token_budget_totals_within_one_doc_overshoot(spark):
+    """The kept set's token total never exceeds budget + (largest kept
+    doc), and adding the best dropped doc would always overshoot."""
+    from logprocessor_spark.operators.curation import select_token_budget
+
+    d = _budget_docs(spark)
+    budget = 120
+    kept = select_token_budget(d, budget)
+    totals = {
+        r["lang"]: r["t"]
+        for r in kept.groupBy("lang").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    max_doc = {
+        r["lang"]: r["m"]
+        for r in kept.groupBy("lang").agg(F.max("n_tokens").alias("m")).collect()
+    }
+    for lang, t in totals.items():
+        assert t <= budget + max_doc[lang]
+        assert t >= budget or d.where(
+            (F.col("lang") == lang)
+        ).count() == kept.where(F.col("lang") == lang).count()
