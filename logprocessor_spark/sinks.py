@@ -225,3 +225,33 @@ def to_ndjson(routed: DataFrame, drop: tuple[str, ...] = ("month",)) -> DataFram
     return routed.select(
         F.to_json(F.struct(*[F.col(c) for c in cols]), {"ignoreNullFields": "true"}).alias("json")
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = 16,
+    path: str | None = None,
+) -> None:
+    """Write a bucketed, bucket-sorted table: rows hash-distribute into
+    ``buckets`` files by ``key``, each file sorted by it. Two tables
+    bucketed the same way CO-LOCATE: a join on ``key`` runs with ZERO
+    exchanges and zero sorts — at 100 TB this turns the nightly fact⋈fact
+    join from the dominant shuffle into a map-side merge (plan-asserted in
+    tests and tools/plan_audit.py). Spark's bucketing needs the session
+    catalog (``saveAsTable``); with Iceberg this is the table's
+    ``bucket(N, key)`` partition transform and works on plain paths."""
+    w = df.write.mode("overwrite").bucketBy(buckets, key).sortBy(key)
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)
+
+
+def colocated_join(
+    spark: SparkSession, left_table: str, right_table: str, key: str, how: str = "inner"
+) -> DataFrame:
+    """Join two identically-bucketed tables on their bucket key. The plan
+    must contain no Exchange (callers/tests assert it): both sides'
+    bucketing satisfies the join's required distribution."""
+    return spark.table(left_table).join(spark.table(right_table), on=key, how=how)

@@ -85,3 +85,34 @@ def test_crawl_delta_golden(spark):
         "u3": "changed",
         "u4": "added",
     }
+
+
+def test_bucketed_join_has_zero_exchanges(spark, tmp_path):
+    """Co-located fact x fact join: identically bucketed tables join with
+    NO shuffle and NO sort — the bucketing contract at 100 TB."""
+    from logprocessor_spark.sinks import colocated_join, write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        write_bucketed(
+            orders, "t_orders_b", "o_orderkey", 8, path=str(tmp_path / "o")
+        )
+        write_bucketed(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "t_lineitem_b", "o_orderkey", 8, path=str(tmp_path / "l"),
+        )
+        j = colocated_join(spark, "t_orders_b", "t_lineitem_b", "o_orderkey")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:800]
+        assert "SortMergeJoin" in plan
+        # values still correct vs the plain (shuffling) join
+        plain = orders.join(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+        )
+        assert j.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")

@@ -274,6 +274,35 @@ def main() -> None:
         f"bhj={p.count('BroadcastHashJoin')} imts={p.count('InMemoryTableScan')}",
     )
 
+    # bucketing: identically-bucketed tables must join with ZERO exchanges
+    # and a bare SortMergeJoin — the co-located fact x fact regime
+    from logprocessor_spark.sinks import colocated_join, write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        import tempfile as _tf
+
+        bdir = _tf.mkdtemp(prefix="lp_bucketed_")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumnRenamed(
+            "l_orderkey", "o_orderkey"
+        )
+        write_bucketed(orders, "pa_orders_b", "o_orderkey", 8, path=f"{bdir}/o")
+        write_bucketed(li, "pa_lineitem_b", "o_orderkey", 8, path=f"{bdir}/l")
+        p = plan_of(colocated_join(spark, "pa_orders_b", "pa_lineitem_b", "o_orderkey"))
+        check(
+            "bucketed co-located join: zero exchanges",
+            "Exchange" not in p and "SortMergeJoin" in p,
+            f"exchanges={p.count('Exchange')}",
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS pa_orders_b")
+        spark.sql("DROP TABLE IF EXISTS pa_lineitem_b")
+        shutil.rmtree(bdir, ignore_errors=True)
+
     # sweep: NO registered query may compile to an unguarded cartesian /
     # BroadcastNestedLoopJoin plan. Two deliberate exceptions:
     #  - near_dup_embeddings: the all-pairs verification twin, count-guarded
