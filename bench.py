@@ -275,6 +275,7 @@ def mode_suite(args) -> None:
 
     pipe_walls = []
     for i in range(2):
+        spark.catalog.clearCache()
         t0 = time.time()
         res = run_pipeline(
             spark, pages, os.path.join(workdir, f"out{i}"), run_id=f"bench{i}"

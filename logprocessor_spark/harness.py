@@ -898,9 +898,16 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("__t").cast("bigint").alias("ws_tokens"),
             F.sum("__b").cast("bigint").alias("bpe_tokens"),
-            (F.expr("(2 * sum(__qi) + count(1)) div (2 * count(1))") / 10000.0).alias(
-                "mean_quality"
-            ),
+            # denominator = count(__qi), NOT count(1): avg() skips NULLs
+            # (a NULL-text doc must not dilute the mean), and an all-NULL
+            # group yields NULL like avg would
+            (
+                F.expr(
+                    "if(count(__qi) = 0, null,"
+                    " (2 * sum(__qi) + count(__qi)) div (2 * count(__qi)))"
+                )
+                / 10000.0
+            ).alias("mean_quality"),
             F.expr("percentile(__n, 0.5)").alias("p50_chars"),
             F.expr("percentile(__n, 0.9)").alias("p90_chars"),
         )
@@ -934,8 +941,11 @@ SELECT lang,
   count(*) AS n_docs,
   CAST(sum(n_tokens) AS BIGINT) AS ws_tokens,
   CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
-  ((2 * sum(CAST(round(qscore * 10000) AS BIGINT)) + count(*))
-     // (2 * count(*))) / 10000.0 AS mean_quality,
+  (CASE WHEN count(CAST(round(qscore * 10000) AS BIGINT)) = 0 THEN NULL
+        ELSE (2 * sum(CAST(round(qscore * 10000) AS BIGINT))
+                + count(CAST(round(qscore * 10000) AS BIGINT)))
+             // (2 * count(CAST(round(qscore * 10000) AS BIGINT))) END)
+    / 10000.0 AS mean_quality,
   quantile_cont(n_chars, 0.5) AS p50_chars,
   quantile_cont(n_chars, 0.9) AS p90_chars
 FROM g GROUP BY 1, 2 ORDER BY 1, 2
@@ -2254,9 +2264,9 @@ WITH old AS (
   FROM documents WHERE doc_id < 50
 )
 SELECT coalesce(o.url, n.url) AS url,
-  CASE WHEN o.fp IS NULL THEN 'added'
-       WHEN n.fp IS NULL THEN 'removed'
-       WHEN o.fp <> n.fp THEN 'changed'
+  CASE WHEN o.url IS NULL THEN 'added'
+       WHEN n.url IS NULL THEN 'removed'
+       WHEN o.fp IS DISTINCT FROM n.fp THEN 'changed'
        ELSE 'unchanged' END AS status
 FROM old o FULL OUTER JOIN nw n ON o.url = n.url
 ORDER BY url

@@ -161,9 +161,8 @@ def select_token_budget(
     language with the best documents"). EXACT form: a per-group window
     cumsum, which globally sorts each group — correct and oracle-
     verifiable, but a low-cardinality ``by`` (5 languages) means 5 fat
-    sort partitions at 10^12 docs. The scale path is
-    ``select_token_budget_threshold``: find the quality cutoff with a
-    mergeable sketch and filter — no global sort, one extra scan."""
+    sort partitions at 10^12 docs. The scale path with identical output
+    is ``select_token_budget_histogram``."""
     w = (
         Window.partitionBy(by)
         .orderBy(F.desc(quality_col), F.asc(id_col))
@@ -230,8 +229,21 @@ def select_token_budget_histogram(
     ).select(by, "__qk", "__prior")
 
     keyed = df.withColumn("__qk", qk)
-    kept_full = keyed.join(F.broadcast(full), on=[by, "__qk"], how="leftsemi")
-    bdocs = keyed.join(F.broadcast(boundary), on=[by, "__qk"])
+    # NULL-SAFE equality on the group key: the exact window form treats a
+    # NULL group as its own partition, so plain equi-joins (NULL never
+    # matches NULL) would silently drop every NULL-group doc from this
+    # form only. eqNullSafe (<=>) is still an equi-join for planning.
+    full_r = full.withColumnsRenamed({by: "__rby", "__qk": "__rqk"})
+    kept_full = keyed.join(
+        F.broadcast(full_r),
+        on=keyed[by].eqNullSafe(full_r["__rby"]) & (keyed["__qk"] == full_r["__rqk"]),
+        how="leftsemi",
+    )
+    bnd_r = boundary.withColumnsRenamed({by: "__rby", "__qk": "__rqk"})
+    bdocs = keyed.join(
+        F.broadcast(bnd_r),
+        on=keyed[by].eqNullSafe(bnd_r["__rby"]) & (keyed["__qk"] == bnd_r["__rqk"]),
+    ).drop("__rby", "__rqk")
     wb = (
         Window.partitionBy(by, "__qk")
         .orderBy(id_col)
@@ -244,8 +256,8 @@ def select_token_budget_histogram(
         .where(F.col("__p") < budget)
         .drop("__prior", "__p")
     )
-    # joins with an `on` list reorder the key columns first — restore the
-    # caller's column order so both forms are schema-interchangeable
+    # restore the caller's column order so both forms are
+    # schema-interchangeable
     return kept_full.unionByName(bkept).select(*df.columns)
 
 

@@ -27,13 +27,23 @@ def crawl_delta(
     """(key, status) for every key in either snapshot, status in
     {added, removed, changed, unchanged} by fingerprint comparison.
     Inputs must be unique per key (a crawl snapshot is)."""
-    o = old.select(F.col(key), F.col(fp_col).alias("__fp_old"))
-    n = new.select(F.col(key), F.col(fp_col).alias("__fp_new"))
+    # presence markers, NOT fp-is-null: a page with NULL text has a NULL
+    # fingerprint in both engines, and using fp as the absence signal
+    # would misclassify it as added/removed even when the URL matched.
+    # The changed-check is null-safe for the same reason.
+    o = old.select(
+        F.col(key), F.col(fp_col).alias("__fp_old"), F.lit(1).alias("__in_old")
+    )
+    n = new.select(
+        F.col(key), F.col(fp_col).alias("__fp_new"), F.lit(1).alias("__in_new")
+    )
     j = o.join(n, on=key, how="full_outer")
     status = (
-        F.when(F.col("__fp_old").isNull(), F.lit("added"))
-        .when(F.col("__fp_new").isNull(), F.lit("removed"))
-        .when(F.col("__fp_old") != F.col("__fp_new"), F.lit("changed"))
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(
+            ~F.col("__fp_old").eqNullSafe(F.col("__fp_new")), F.lit("changed")
+        )
         .otherwise(F.lit("unchanged"))
     )
     return j.select(F.col(key), status.alias("status"))

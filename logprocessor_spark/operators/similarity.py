@@ -44,7 +44,11 @@ def cosine(a: Column, b: Column) -> Column:
     oracle (0/0 -> NULL) drops it. Zero-norm embeddings exist in real
     corpora (empty docs); they are similar to nothing."""
     den = _norm(a) * _norm(b)
-    return F.when(den > 0, _dot(a, b) / den)
+    dot = _dot(a, b)
+    # NaN guards on BOTH operands: Spark orders NaN above every number, so
+    # `NaN > 0` is TRUE and a NaN component (den or dot NaN) would leak
+    # through the zero-norm guard — and diverge from the Arrow path
+    return F.when((den > 0) & ~F.isnan(den) & ~F.isnan(dot), dot / den)
 
 
 def cosine_arrow(a: Column, b: Column) -> Column:
@@ -75,9 +79,11 @@ def cosine_arrow(a: Column, b: Column) -> Column:
             den = np.sqrt(na) * np.sqrt(nb)
             with np.errstate(divide="ignore", invalid="ignore"):
                 res = dot / den
-            # zero-norm -> None, matching the expression path's NULL (a
-            # NaN here would pass Spark's `>= tau` — NaN sorts above all)
-            vals = iter((float(r) if d > 0 else None) for r, d in zip(res, den))
+            # zero-norm or NaN operand -> None, matching the expression
+            # path's predicate exactly (a NaN here would pass Spark's
+            # `>= tau` — NaN sorts above all)
+            ok2 = (den > 0) & ~np.isnan(den) & ~np.isnan(dot)
+            vals = iter((float(r) if o else None) for r, o in zip(res, ok2))
         else:
             vals = iter(())
         return pd.Series(

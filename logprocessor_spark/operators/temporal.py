@@ -123,6 +123,14 @@ def range_join_binned(
     appear twice (the event's single bin meets each covering interval
     once), so there is no dedup pass.
     """
+    if how.replace("_", "").lower() not in ("inner", "left", "leftouter"):
+        # right/full outer would emit one NULL-extended row PER EXPLODED
+        # BIN for an unmatched interval (and its key vanishes with the
+        # renamed join column) — support them only with an interval-side
+        # design, not silently wrong output
+        raise ValueError(
+            f"range_join_binned supports how='inner'|'left', got {how!r}"
+        )
     bin_e = (F.unix_timestamp(F.col(ts_col)) / bin_seconds).cast("long")
     ev = events.withColumn("__bin", bin_e)
     iv = intervals.withColumn(

@@ -211,10 +211,22 @@ def stream_dedup_against_index(
         near_dup_dedup,
     )
 
+    # read the index's LSH params once, driver-side: the in-batch dedup
+    # and the accretion append must run with the SAME banding the index
+    # was built with (append validates against meta and would otherwise
+    # kill the stream on the first micro-batch)
+    spark = docs_stream.sparkSession
+    meta = spark.read.parquet(f"{index_path}/meta").first()
+    lsh = {
+        "shingle_k": meta["shingle_k"],
+        "num_hashes": meta["num_hashes"],
+        "bands": meta["bands"],
+    }
+
     def _process(batch_df: DataFrame, _batch_id: int) -> None:
         batch = batch_df.persist()
         kept = near_dup_dedup(
-            batch, text_col=text_col, id_col=id_col, threshold=threshold
+            batch, text_col=text_col, id_col=id_col, threshold=threshold, **lsh
         )
         dup_new = (
             dedup_against_index(
@@ -227,7 +239,13 @@ def stream_dedup_against_index(
         survivors = kept.join(dup_new, on=id_col, how="left_anti").persist()
         survivors.write.mode("append").parquet(out_path)
         if accrete:
-            minhash_index_append(survivors.select(id_col, text_col), index_path)
+            minhash_index_append(
+                survivors.select(id_col, text_col),
+                index_path,
+                text_col=text_col,
+                id_col=id_col,
+                **lsh,
+            )
         survivors.unpersist()
         batch.unpersist()
 

@@ -266,3 +266,22 @@ def test_token_budget_totals_within_one_doc_overshoot(spark):
         assert t >= budget or d.where(
             (F.col("lang") == lang)
         ).count() == kept.where(F.col("lang") == lang).count()
+
+
+def test_token_budget_null_group_key_survives_histogram_form(spark):
+    from logprocessor_spark.operators.curation import (
+        select_token_budget,
+        select_token_budget_histogram,
+    )
+
+    d = spark.createDataFrame(
+        [(0, None, 0.9, 10), (1, None, 0.5, 10), (2, "en", 0.9, 10)],
+        "doc_id long, lang string, qscore double, n_tokens long",
+    )
+    for fn in (select_token_budget, select_token_budget_histogram):
+        got = {r["doc_id"] for r in fn(d, budget=15).collect()}
+        # NULL lang is its own group: doc 0 fits, doc 1 crosses after it
+        assert got == {0, 1, 2}, fn.__name__
+    for fn in (select_token_budget, select_token_budget_histogram):
+        got = {r["doc_id"] for r in fn(d, budget=10).collect()}
+        assert got == {0, 2}, fn.__name__

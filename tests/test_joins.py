@@ -116,3 +116,23 @@ def test_bucketed_join_has_zero_exchanges(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_crawl_delta_null_fingerprints(spark):
+    """NULL-text pages (NULL fp) present in both snapshots are matched by
+    URL, not misread as added/removed; NULL->value is 'changed'."""
+    from logprocessor_spark.operators.delta import crawl_delta
+
+    old = spark.createDataFrame(
+        [("u1", None), ("u2", None), ("u3", "c")], "url string, fp string"
+    )
+    new = spark.createDataFrame(
+        [("u1", None), ("u2", "b"), ("u4", None)], "url string, fp string"
+    )
+    got = {r["url"]: r["status"] for r in crawl_delta(old, new).collect()}
+    assert got == {
+        "u1": "unchanged",
+        "u2": "changed",
+        "u3": "removed",
+        "u4": "added",
+    }

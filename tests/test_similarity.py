@@ -297,3 +297,22 @@ def test_cosine_null_on_zero_norm_both_paths(spark):
         F.col("s") >= 0.0
     )
     assert {r["i"] for r in kept.collect()} == {2}
+
+
+def test_cosine_nan_component_null_on_both_paths(spark):
+    from logprocessor_spark.operators.similarity import cosine, cosine_arrow
+
+    df = spark.createDataFrame(
+        [(0, [float("nan"), 1.0], [1.0, 1.0]), (1, [1.0, 0.0], [1.0, 0.0])],
+        "i long, a array<double>, b array<double>",
+    )
+    rows = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            cosine(F.col("a"), F.col("b")).alias("ce"),
+            cosine_arrow(F.col("a"), F.col("b")).alias("ca"),
+        ).collect()
+    }
+    assert rows[0]["ce"] is None and rows[0]["ca"] is None
+    assert abs(rows[1]["ce"] - 1.0) < 1e-12 and abs(rows[1]["ca"] - 1.0) < 1e-12

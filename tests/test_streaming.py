@@ -234,23 +234,25 @@ def test_stream_dedup_against_index_accretes(spark, tmp_path):
     b1.coalesce(1).write.mode("append").parquet(src)
     out = str(tmp_path / "out")
 
-    def run(tag):
+    def run():
+        # SAME checkpoint across runs: run 2 must process ONLY the new
+        # file — a fresh checkpoint would replay batch 1 alongside batch 2
+        # in one micro-batch, and the in-batch dedup would drop 2000
+        # without exercising accretion at all
         stream = (
             spark.readStream.schema("doc_id long, text string")
             .option("maxFilesPerTrigger", "10")
             .parquet(src)
         )
-        q = stream_dedup_against_index(
-            stream, idx, out, str(tmp_path / f"ckpt{tag}")
-        )
+        q = stream_dedup_against_index(stream, idx, out, str(tmp_path / "ckpt"))
         q.awaitTermination(120)
 
-    run("a")
+    run()
     got1 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert got1 == {1001}  # 1000 was a dup of the indexed corpus
 
     b2.coalesce(1).write.mode("append").parquet(src)
-    run("b")
+    run()
     got2 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     # 2000 duplicated 1001, which was accreted into the index after batch 1
     assert got2 == {1001, 2001}

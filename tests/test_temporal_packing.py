@@ -187,3 +187,22 @@ def test_asof_join_right_ts_in_right_cols_ok(spark):
     assert out.columns.count("ts_asof") == 1
     r = out.first()
     assert r["v_asof"] == 1.0 and str(r["ts_asof"]).startswith("2024-01-01 00:00")
+
+
+def test_range_join_rejects_right_and_full_outer(spark):
+    from logprocessor_spark.operators.temporal import range_join_binned
+
+    ev = spark.createDataFrame(
+        [("k", "2024-01-01 00:05:00")], "k string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    iv = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:00", "2024-01-01 01:00:00")],
+        "k string, start string, end string",
+    ).withColumn("start", F.col("start").cast("timestamp")).withColumn(
+        "end", F.col("end").cast("timestamp")
+    )
+    import pytest as _pt
+
+    for how in ("right", "full_outer", "full"):
+        with _pt.raises(ValueError, match="supports how"):
+            range_join_binned(ev, iv, key="k", how=how)
