@@ -2273,6 +2273,126 @@ ORDER BY url
 """
 
 
+def q_curate_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The web-corpus curation chain end-to-end over multi-line pages,
+    composed from stages that are each hash-verified standalone:
+    corpus-frequency boilerplate-line removal -> per-host cap (salted
+    two-phase top-k) -> quality + language gates on the CLEANED text ->
+    exact dedup -> per-language token-budget selection (histogram form).
+    One logical plan; the oracle composes each stage's verified SQL.
+
+    Scale shape: boilerplate set broadcasts; host cap shuffles (host,
+    salt); gates fuse into the projection; dedup is the 32-byte-key
+    groupBy; budget selection is the no-corpus-sort histogram."""
+    from .operators.curation import (
+        host_cap,
+        host_of,
+        remove_boilerplate_lines,
+        select_token_budget_histogram,
+    )
+
+    cleaned = remove_boilerplate_lines(_boilerplated_pages(spark, sf_dir), min_docs=10)
+    ii = F.col("doc_id").cast("int")
+    url = F.format_string(
+        "https://host%03d.example.com/d/%d", ii % 200, F.col("doc_id")
+    )
+    hosted = cleaned.withColumn("host", host_of(url))
+    capped = host_cap(hosted, cap=3)
+    scored = capped.select(
+        "doc_id",
+        "text",
+        quality_score(F.col("text")).alias("qscore"),
+        lang_id(F.col("text")).alias("lang_pred"),
+        bpe_ish_token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+    gated = scored.where((F.col("qscore") >= 0.5) & (F.col("lang_pred") == "en"))
+    ex = exact_dedup(gated)
+    final = select_token_budget_histogram(ex, budget=3000, by="lang_pred")
+    return final.select(
+        "doc_id",
+        "n_tokens",
+        F.col("qscore"),
+        F.md5(F.encode("text", "UTF-8")).alias("clean_fp"),
+    ).orderBy("doc_id")
+
+
+SQL_CURATE_CORPUS_V3 = f"""
+WITH pages AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN '{_NAV_A}' ELSE '{_NAV_B}' END)
+    || chr(10) || text
+    || (CASE WHEN doc_id % 3 = 0 THEN chr(10) || '{_PROMO}' ELSE '' END)
+    || chr(10) || printf('(c) 2015 host%03d.example.com', CAST(doc_id % 200 AS INT))
+      AS page
+  FROM documents
+), l0 AS (
+  SELECT doc_id, string_split(page, chr(10)) AS ls FROM pages
+), lines AS (
+  SELECT doc_id, unnest(ls) AS line,
+         CAST(unnest(range(1, len(ls)+1)) AS INT) AS pos
+  FROM l0
+), freq AS (
+  SELECT line FROM (SELECT DISTINCT doc_id, line FROM lines)
+  GROUP BY line HAVING count(*) >= 10
+), marked AS (
+  SELECT x.doc_id, x.pos, x.line, (f.line IS NOT NULL) AS bp
+  FROM lines x LEFT JOIN freq f USING (line)
+), rebuilt AS (
+  SELECT doc_id,
+    coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT bp), '')
+      AS ct
+  FROM marked GROUP BY doc_id
+), capped AS (
+  SELECT doc_id, ct FROM (
+    SELECT doc_id, ct, row_number() OVER (
+      PARTITION BY printf('host%03d.example.com', CAST(doc_id % 200 AS INT))
+      ORDER BY doc_id) AS rn
+    FROM rebuilt
+  ) WHERE rn <= 3
+), feats AS (
+  SELECT doc_id, ct,
+    length(ct) AS n_chars,
+    CASE WHEN trim(ct) = '' THEN 0
+         ELSE len(string_split_regex(trim(ct), '\\s+')) END AS n_toks,
+    CAST(len(regexp_extract_all(ct, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe,
+    len(regexp_extract_all(ct, '[^\\w\\s]')) AS n_punct,
+    len(regexp_extract_all(ct, '[0-9]')) AS n_digit,
+    len(regexp_extract_all(ct, '(?i)\\b(the|and|of|to|a|in|is|it)\\b')) AS s_en,
+    len(regexp_extract_all(ct, '(?i)\\b(der|die|und|das|ist|nicht|ein)\\b')) AS s_de,
+    len(regexp_extract_all(ct, '(?i)\\b(le|la|et|les|des|est|une)\\b')) AS s_fr,
+    len(regexp_extract_all(ct, '(?i)\\b(el|la|los|que|es|una|por)\\b')) AS s_es
+  FROM capped
+), g AS (
+  SELECT doc_id, ct, n_bpe, s_en, s_de, s_fr, s_es,
+    round(0.4 * least((s_en / (CASE WHEN n_toks > 0 THEN n_toks ELSE 1 END)) * 4, 1.0)
+        + 0.3 * (CASE WHEN (n_chars - (n_toks - 1)) / (CASE WHEN n_toks > 0 THEN n_toks ELSE 1 END) >= 3
+                       AND (n_chars - (n_toks - 1)) / (CASE WHEN n_toks > 0 THEN n_toks ELSE 1 END) <= 10
+                      THEN 1.0 ELSE 0.0 END)
+        + 0.2 * (1.0 - least((n_punct / (CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END)) * 5, 1.0))
+        + 0.1 * (1.0 - least((n_digit / (CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END)) * 5, 1.0)), 4) AS qscore
+  FROM feats
+), gated AS (
+  SELECT doc_id, ct, n_bpe, qscore FROM g
+  WHERE qscore >= 0.5
+    AND greatest(s_en, s_de, s_fr, s_es) > 0
+    AND s_en = greatest(s_en, s_de, s_fr, s_es)
+), ex AS (
+  SELECT e.doc_id, e.ct, e.n_bpe, e.qscore
+  FROM gated e
+  SEMI JOIN (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(ct)) w
+    ON e.doc_id = w.doc_id
+), sel AS (
+  SELECT doc_id, ct, n_bpe, qscore,
+    coalesce(sum(n_bpe) OVER (ORDER BY qscore DESC, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS prior
+  FROM ex
+)
+SELECT doc_id, n_bpe AS n_tokens, qscore, md5(ct) AS clean_fp
+FROM sel WHERE prior < 3000 ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "log_parse_fields": q_log_parse_fields,
     "log_parse_errors": q_log_parse_errors,
@@ -2334,6 +2454,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental": q_dedup_incremental,
     "token_budget_select": q_token_budget_select,
     "crawl_delta": q_crawl_delta,
+    "curate_corpus_v3": q_curate_corpus_v3,
 }
 
 ORACLES: dict[str, str] = {
@@ -2398,4 +2519,5 @@ ORACLES: dict[str, str] = {
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "token_budget_select": SQL_TOKEN_BUDGET_SELECT,
     "crawl_delta": SQL_CRAWL_DELTA,
+    "curate_corpus_v3": SQL_CURATE_CORPUS_V3,
 }
