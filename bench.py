@@ -57,6 +57,7 @@ HEADLINE = [
     "curate_corpus",        # quality -> lang -> dedup chain (one plan)
     "host_cap",             # per-host cap (salted two-phase top-k)
     "boilerplate_removal",  # corpus-frequency line dedup
+    "curate_corpus_v3",     # full curation chain: boilerplate -> cap -> gates -> dedup -> budget
 ]
 
 

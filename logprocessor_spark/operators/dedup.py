@@ -362,6 +362,11 @@ def resolve_dup_clusters(
     Shuffle profile per round: edges join labels on a single long key,
     then a groupBy on the same key — both partial-aggregatable; rows are
     16-24 bytes. The doc text never enters the computation."""
+    # persist the pair set FIRST: it appears on both sides of the edge
+    # union, and without the cache boundary the whole candidate join +
+    # Jaccard verify upstream evaluates twice (the captured-subexpression
+    # recompute family — see _banded_candidate_pairs)
+    pairs = pairs.persist()
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -410,6 +415,7 @@ def resolve_dup_clusters(
         if changed == 0:
             break
     edges.unpersist()
+    pairs.unpersist()
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("keeper_id"))
 
 
