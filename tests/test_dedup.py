@@ -357,3 +357,29 @@ def test_incremental_index_append_rejects_mismatched_params(docs, tmp_path):
         minhash_index_append(
             docs.limit(5).select("doc_id", "text"), path, bands=16
         )
+
+
+def test_index_append_replay_keeps_decisions_stable(with_dupes, tmp_path):
+    """foreachBatch is at-least-once: a REPLAYED append duplicates band
+    rows in the index, but dedup decisions must not change (candidates
+    dedupe on id pairs before verification) — the claim
+    stream_dedup_against_index's docstring makes."""
+    from logprocessor_spark.operators.dedup import (
+        dedup_against_index,
+        minhash_index_append,
+        minhash_index_build,
+    )
+
+    corpus = with_dupes.where(F.col("doc_id") < 25).select("doc_id", "text")
+    extra = with_dupes.where(
+        (F.col("doc_id") >= 25) & (F.col("doc_id") < 10_000)
+    ).select("doc_id", "text")
+    probe = with_dupes.where(F.col("doc_id") >= 10_000).select("doc_id", "text")
+
+    path = str(tmp_path / "idx")
+    minhash_index_build(corpus, path)
+    minhash_index_append(extra, path)
+    before = set(map(tuple, dedup_against_index(probe, path).collect()))
+    minhash_index_append(extra, path)  # the retry replay
+    after = set(map(tuple, dedup_against_index(probe, path).collect()))
+    assert before == after and len(before) > 0
