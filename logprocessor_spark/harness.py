@@ -2111,13 +2111,16 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     contains every cross pair verified here). Index build/probe params are
     carried in the index's meta table."""
     import hashlib
+    import os
 
     from .operators.dedup import dedup_against_index, minhash_index_build
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     new = d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    # pid-suffixed path: a fixed shared path would race when two harness
+    # processes (oracle check, plan-audit sweep, bench) run concurrently
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    path = f"/tmp/lp_minhash_idx_{tag}"
+    path = f"/tmp/lp_minhash_idx_{tag}_{os.getpid()}"
     minhash_index_build(d, path)  # overwrite: deterministic per run
     return dedup_against_index(new, path, threshold=0.8).orderBy(
         "new_id", "index_id"

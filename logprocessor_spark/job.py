@@ -88,7 +88,7 @@ def _committed_counts(
         )
     import os
 
-    import pyarrow.parquet as pq
+    from .sources import _footer_row_count
 
     base = path[len("file:"):] if path.startswith("file:") else path
     out: dict[tuple[str, str], int] = {}
@@ -110,12 +110,7 @@ def _committed_counts(
                 if dt not in batch:
                     continue
                 full = os.path.join(base, sdir, mdir, ddir)
-                n = sum(
-                    pq.ParquetFile(os.path.join(full, f)).metadata.num_rows
-                    for f in os.listdir(full)
-                    if f.endswith(".parquet")
-                )
-                out[(dt, sink)] = out.get((dt, sink), 0) + n
+                out[(dt, sink)] = out.get((dt, sink), 0) + _footer_row_count(full)
     return [_Stat(dt, sink, n) for (dt, sink), n in sorted(out.items())]
 
 

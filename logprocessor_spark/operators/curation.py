@@ -199,11 +199,15 @@ def select_token_budget_histogram(
     sort of the exact form never happens. Equality with
     ``select_token_budget`` is asserted in pytest and by the driver's
     oracle gate (the SQL twin is the exact window)."""
-    # NULL quality -> sentinel bucket -1: it sorts below every real score
-    # in DESC order, exactly where desc() (nulls-last) ranks NULL in the
-    # exact window form — a bare NULL key would never equi-join and those
-    # docs would silently vanish from this form only
-    qk = F.coalesce(F.round(F.col(quality_col) * 10000).cast("int"), F.lit(-1))
+    # NULL quality -> INT_MIN sentinel: it sorts below EVERY real score
+    # (including negative ones — a -1 sentinel would rank NULL above a
+    # centered model's negative scores) in DESC order, exactly where
+    # desc() (nulls-last) ranks NULL in the exact window form — a bare
+    # NULL key would never equi-join and those docs would silently vanish
+    # from this form only
+    qk = F.coalesce(
+        F.round(F.col(quality_col) * 10000).cast("int"), F.lit(-(2**31))
+    )
     hist = (
         df.select(F.col(by), qk.alias("__qk"), F.col(tokens_col))
         .groupBy(by, "__qk")

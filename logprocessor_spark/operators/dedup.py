@@ -126,7 +126,13 @@ def _spread(df: DataFrame) -> DataFrame:
     would pin the dominant compute to 1-2 tasks (measured: the sf0.1
     shingle scan ran 2-way on 32 cores, 11.6 s instead of ~1 s). No-op
     when the source already has >= defaultParallelism partitions — always
-    true for a multi-split cluster read, so at scale this adds nothing."""
+    true for a multi-split cluster read, so at scale this adds nothing.
+
+    Cost note: ``df.rdd`` forces analysis + physical planning of the
+    upstream plan on the driver (no job runs). That is milliseconds for
+    these plans and the price of deciding correctly — unconditionally
+    repartitioning would put a full shuffle in front of every billion-row
+    cluster read, which is far worse than a driver-side planning pass."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
@@ -241,11 +247,13 @@ def _banded_candidate_pairs(base: DataFrame, bands: int, r: int) -> DataFrame:
     shingle+signature expression into every one of those subtrees (8 band
     slices x 2 sides x 2 join-backs ≈ 18 re-evaluations per row — measured
     95% of round-1's bench wall). ``persist`` pins the tiny
-    (__id, __sh, __sig) relation so the signature computes exactly once;
-    Spark's ContextCleaner unpersists it when the result DataFrame is
-    garbage collected. At cluster scale the same role is played by
-    stage-writing the base (or just the 24 B/row banded table) to storage
-    between candidate generation and verification."""
+    (__id, __sh, __sig) relation so the signature computes exactly once.
+    SQL caches are NOT garbage-collected — long-lived sessions release
+    them explicitly (the streaming gate clears per micro-batch; the bench
+    clears between timed runs); one-shot queries leave it to session
+    teardown. At cluster scale the same role is played by stage-writing
+    the base (or just the 24 B/row banded table) to storage between
+    candidate generation and verification."""
     # NULL docs (null text -> null shingles -> null signature, on both the
     # expression and Arrow paths) cannot be near-duplicates of anything;
     # dropping them HERE keeps them out of the band join, where a null
@@ -481,9 +489,13 @@ def minhash_index_build(
                 f"(shingle_k, num_hashes, bands)={got}, append got {want}"
             )
     r = num_hashes // bands
-    base = _minhash_base(
+    # keep the handle persist() was called ON: unpersist() on a derived
+    # child (e.g. the .where below) matches no cache entry and silently
+    # leaks the cached signatures — SQL caches are NOT reclaimed by GC
+    cached = _minhash_base(
         df, text_col, id_col, shingle_k, num_hashes, arrow_signature
-    ).persist().where(F.col("__sh").isNotNull() & F.col("__sig").isNotNull())
+    ).persist()
+    base = cached.where(F.col("__sh").isNotNull() & F.col("__sig").isNotNull())
     _band_keys(base, bands, r).withColumnRenamed("__id", id_col).write.mode(
         mode
     ).parquet(f"{path}/bands")
@@ -495,7 +507,7 @@ def minhash_index_build(
             [(shingle_k, num_hashes, bands)],
             "shingle_k int, num_hashes int, bands int",
         ).write.mode("overwrite").parquet(meta_path)
-    base.unpersist()
+    cached.unpersist()
 
 
 def minhash_index_append(df: DataFrame, path: str, **kwargs) -> None:
@@ -522,10 +534,12 @@ def dedup_against_index(
     narrow two-column scan). LSH params come from the index's meta table —
     a probe cannot silently run with mismatched banding.
 
-    The persisted base stays cached until the returned (lazy) DataFrame is
-    garbage collected — Spark's ContextCleaner unpersists it then, same
-    lifecycle as ``_banded_candidate_pairs``; an eager unpersist here
-    would force the signature to recompute for each of its two uses."""
+    The persisted base must stay cached while the returned (lazy)
+    DataFrame is consumed — an eager unpersist here would force the
+    signature to recompute for each of its two uses. SQL caches are NOT
+    garbage-collected: long-lived sessions (the streaming gate) must
+    release them explicitly, which ``stream_dedup_against_index`` does
+    per micro-batch; one-shot queries leave it to session teardown."""
     spark = new_df.sparkSession
     m = spark.read.parquet(f"{path}/meta").first()
     shingle_k, num_hashes, bands = m["shingle_k"], m["num_hashes"], m["bands"]
@@ -559,6 +573,11 @@ def dedup_against_index(
         .withColumn("jaccard_sim", jaccard(F.col("sh_n"), F.col("sh_i")))
         .where(F.col("jaccard_sim") >= threshold)
         .select("new_id", "index_id", F.round("jaccard_sim", 4).alias("jaccard_sim"))
+        # a replayed (at-least-once) append duplicates shingle rows in the
+        # index; candidates are already deduped, but the shingle join-back
+        # would multiply each verified pair per replay — dedup the OUTPUT
+        # (tiny) rather than the wide shingle table
+        .dropDuplicates(["new_id", "index_id"])
     )
 
 

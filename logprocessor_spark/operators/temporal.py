@@ -62,25 +62,29 @@ def asof_join(
     # right_cols too would build a duplicate output column and fail at
     # unionByName with an ambiguous-reference error
     rc = [c for c in right_cols if c not in keys and c != right_ts]
+    # ALL right attributes travel as ONE struct: the struct is non-null
+    # whenever a right row exists, even if every field in it is NULL, so
+    # last(ignorenulls) carries the latest right ROW atomically. Carrying
+    # columns separately would mix attributes from different right rows
+    # whenever the latest row has a NULL field (ignorenulls would reach
+    # past it to an older row's value for that one column).
+    r_struct = F.struct(
+        F.col(right_ts).alias("__rts"), *[F.col(c).alias(c) for c in rc]
+    )
     # side 0 sorts before side 1 at equal ts -> a right row at exactly
     # left_ts is visible to that left row (inclusive as-of)
     r = right.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        F.col(right_ts).alias(f"{right_ts}{suffix}"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in rc],
+        r_struct.alias("__r"),
     )
     l_cols = left.columns
     l = left.select(
         *[F.col(c) for c in l_cols],
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        F.lit(None).cast(r.schema[f"{right_ts}{suffix}"].dataType).alias(f"{right_ts}{suffix}"),
-        *[
-            F.lit(None).cast(r.schema[f"{c}{suffix}"].dataType).alias(f"{c}{suffix}")
-            for c in rc
-        ],
+        F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
     )
     # align schemas: right side lacks left-only columns
     for c in l_cols:
@@ -92,13 +96,19 @@ def asof_join(
         .orderBy("__ts", "__side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [f"{right_ts}{suffix}"] + [f"{c}{suffix}" for c in rc]
     out = unioned.select(
         *l_cols,
         F.col("__side"),
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
+        F.last("__r", ignorenulls=True).over(w).alias("__r"),
     )
-    return out.where(F.col("__side") == 1).drop("__side")
+    return (
+        out.where(F.col("__side") == 1)
+        .select(
+            *l_cols,
+            F.col("__r.__rts").alias(f"{right_ts}{suffix}"),
+            *[F.col(f"__r.{c}").alias(f"{c}{suffix}") for c in rc],
+        )
+    )
 
 
 def range_join_binned(

@@ -248,6 +248,13 @@ def stream_dedup_against_index(
             )
         survivors.unpersist()
         batch.unpersist()
+        # the dedup internals persist their signature bases per call and
+        # SQL caches are not garbage-collected — without an explicit
+        # release, a long-running stream leaks cache entries every batch.
+        # Clearing the session cache here is the bounded-memory choice;
+        # batch jobs sharing the session should not rely on their own
+        # caches surviving across this stream's micro-batches.
+        batch_df.sparkSession.catalog.clearCache()
 
     writer = docs_stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_path

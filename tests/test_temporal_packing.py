@@ -206,3 +206,21 @@ def test_range_join_rejects_right_and_full_outer(spark):
     for how in ("right", "full_outer", "full"):
         with _pt.raises(ValueError, match="supports how"):
             range_join_binned(ev, iv, key="k", how=how)
+
+
+def test_asof_join_carries_latest_row_atomically(spark):
+    """A NULL attribute on the LATEST right row must come through as NULL
+    — not be replaced by an older row's non-NULL value (the right
+    attributes travel as one struct, like DuckDB ASOF JOIN semantics)."""
+    from logprocessor_spark.operators.temporal import asof_join
+
+    right = spark.createDataFrame(
+        [("u", "2024-01-01 10:00:00", 5.0), ("u", "2024-01-01 11:00:00", None)],
+        "k string, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    left = spark.createDataFrame(
+        [("u", "2024-01-01 12:00:00")], "k string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = asof_join(left, right, key="k", right_cols=["v"]).first()
+    assert str(r["ts_asof"]).startswith("2024-01-01 11:00")
+    assert r["v_asof"] is None
