@@ -2396,6 +2396,43 @@ FROM sel WHERE prior < 3000 ORDER BY doc_id
 """
 
 
+MIX_RECIPE_PPM = {"en": 500_000, "de": 200_000, "fr": 150_000, "zh": 150_000}
+MIX_BUDGET = 300
+
+
+def q_mix_to_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data mixing to a target recipe: keep ~300 docs split
+    50% en / 20% de / 15% fr / 15% zh (es absent from the recipe drops
+    entirely). Keep-rates derive from actual group counts with pure
+    integer arithmetic; membership is the (id*PRIME) % 1e6 predicate —
+    reproducible across engines and runs, no RNG state. One tiny groupBy
+    shuffle; the keep predicate evaluates inside the scan."""
+    from .operators.curation import mix_to_recipe
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        mix_to_recipe(d, MIX_RECIPE_PPM, budget=MIX_BUDGET)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+SQL_MIX_TO_RECIPE = f"""
+WITH shares(lang, ppm) AS (
+  VALUES ('en', 500000), ('de', 200000), ('fr', 150000), ('zh', 150000)
+), rates AS (
+  SELECT d.lang,
+         least(1000000, (CAST({MIX_BUDGET} AS BIGINT) * s.ppm) // cnt) AS rate
+  FROM (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang) d
+  JOIN shares s ON d.lang = s.lang
+)
+SELECT doc_id, d.lang
+FROM documents d JOIN rates r ON d.lang = r.lang
+WHERE (doc_id * 104729) % 1000000 < r.rate
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "log_parse_fields": q_log_parse_fields,
     "log_parse_errors": q_log_parse_errors,
@@ -2458,6 +2495,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget_select": q_token_budget_select,
     "crawl_delta": q_crawl_delta,
     "curate_corpus_v3": q_curate_corpus_v3,
+    "mix_to_recipe": q_mix_to_recipe,
 }
 
 ORACLES: dict[str, str] = {
@@ -2523,4 +2561,5 @@ ORACLES: dict[str, str] = {
     "token_budget_select": SQL_TOKEN_BUDGET_SELECT,
     "crawl_delta": SQL_CRAWL_DELTA,
     "curate_corpus_v3": SQL_CURATE_CORPUS_V3,
+    "mix_to_recipe": SQL_MIX_TO_RECIPE,
 }

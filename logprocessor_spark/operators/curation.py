@@ -265,6 +265,57 @@ def select_token_budget_histogram(
     return kept_full.unionByName(bkept).select(*df.columns)
 
 
+#: prime stride for the deterministic keep predicate — coprime with the
+#: 1e6 modulus, so (id * PRIME) % 1e6 cycles uniformly over dense ids
+MIX_PRIME = 104729
+
+
+def mix_to_recipe(
+    df: DataFrame,
+    recipe_ppm: dict[str, int],
+    budget: int,
+    by: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic down-sampling to a target corpus mix: given a recipe
+    of per-group shares in ppm (parts per million, summing to ≤ 1e6) and a
+    total document budget, compute each group's keep-rate from its actual
+    count and keep a deterministic pseudo-random subset at that rate.
+
+    Two passes: (1) a partial-aggregatable groupBy counts each group —
+    the only shuffle, over the tiny group key; (2) the keep predicate
+    ``(id * PRIME) % 1e6 < rate_ppm`` evaluates inside the scan (the rate
+    joins back via broadcast). Deterministic and engine-portable (no RNG
+    state to ship, no xxhash in the oracle path); rate arithmetic is pure
+    integer (rate_ppm = share_ppm * budget div group_count, capped at 1e6)
+    so the oracle reproduces it exactly. Groups absent from the recipe
+    drop entirely. Expected kept per group ≈ share·budget, within the
+    ±1-per-ppm-bucket quantization of the modulus."""
+    rate_map = F.create_map(
+        *[F.lit(x) for kv in recipe_ppm.items() for x in kv]
+    )
+    counts = df.groupBy(by).agg(F.count(F.lit(1)).alias("__n"))
+    rates = (
+        counts.withColumn(
+            "__share", F.coalesce(F.element_at(rate_map, F.col(by)), F.lit(0))
+        )
+        .select(
+            F.col(by).alias("__rby"),
+            F.least(
+                F.lit(1_000_000).cast("long"),
+                F.expr(f"div(cast({int(budget)} as bigint) * __share, __n)"),
+            ).alias("__rate"),
+        )
+    )
+    keyed = df.join(
+        F.broadcast(rates), on=df[by].eqNullSafe(rates["__rby"]), how="inner"
+    ).drop("__rby")
+    kept = keyed.where(
+        F.pmod(F.col(id_col) * MIX_PRIME, F.lit(1_000_000)) < F.col("__rate")
+    )
+    return kept.drop("__rate")
+
+
 def vocab_topk(df: DataFrame, k: int = 20, text_col: str = "text") -> DataFrame:
     """Top-k corpus tokens by frequency: (token, n), ties broken by token
     so the result set is unique. Tokenization is the lower-cased BPE-ish

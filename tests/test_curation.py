@@ -285,3 +285,28 @@ def test_token_budget_null_group_key_survives_histogram_form(spark):
     for fn in (select_token_budget, select_token_budget_histogram):
         got = {r["doc_id"] for r in fn(d, budget=10).collect()}
         assert got == {0, 2}, fn.__name__
+
+
+def test_mix_to_recipe_rates_and_determinism(spark):
+    from logprocessor_spark.operators.curation import mix_to_recipe
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "lang")
+    recipe = {"en": 500_000, "de": 500_000}
+    out = mix_to_recipe(d, recipe, budget=20)
+    rows = out.collect()
+    # deterministic: second evaluation identical
+    assert sorted(r["doc_id"] for r in rows) == sorted(
+        r["doc_id"] for r in out.collect()
+    )
+    by_lang = {}
+    for r in rows:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+    # recipe-absent groups drop entirely
+    assert set(by_lang) <= {"en", "de"}
+    # each group lands near its 10-doc share (modulus quantization slack)
+    for lang, n in by_lang.items():
+        assert 3 <= n <= 20, (lang, n)
+    # a group whose share exceeds its size keeps everything (rate capped)
+    all_de = d.where(F.col("lang") == "de")
+    kept = mix_to_recipe(all_de, {"de": 1_000_000}, budget=10**9)
+    assert kept.count() == all_de.count()
