@@ -2308,7 +2308,13 @@ def q_curate_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         lang_id(F.col("text")).alias("lang_pred"),
         bpe_ish_token_count(F.col("text")).cast("bigint").alias("n_tokens"),
     )
-    gated = scored.where((F.col("qscore") >= 0.5) & (F.col("lang_pred") == "en"))
+    # persist the gated relation: exact_dedup's winner semi-join references
+    # it on both sides and the budget histogram's two branches read it
+    # again — without the cache boundary the whole boilerplate-reassembly +
+    # host-cap-window chain upstream re-evaluates per reference
+    gated = scored.where(
+        (F.col("qscore") >= 0.5) & (F.col("lang_pred") == "en")
+    ).persist()
     ex = exact_dedup(gated)
     final = select_token_budget_histogram(ex, budget=3000, by="lang_pred")
     return final.select(
