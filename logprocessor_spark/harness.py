@@ -2439,6 +2439,55 @@ ORDER BY doc_id
 """
 
 
+def q_kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM statistics (operators/ngram_lm.py)
+    — the count/smoothing core of CCNet-style LM quality filtering. The
+    probability is emitted as an integer in 1e-9 units computed with pure
+    BIGINT arithmetic, so the oracle verifies the smoothing formula
+    bit-for-bit (rational HALF_UP — no round(double) cross-engine trap).
+    Top 100 bigrams by count, ties broken lexicographically."""
+    from .operators.ngram_lm import kn_bigram_probs
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        kn_bigram_probs(d)
+        .orderBy(F.desc("c12"), "w1", "w2")
+        .limit(100)
+    )
+
+
+SQL_KN_BIGRAM_LM = r"""
+WITH w AS (
+  SELECT string_split_regex(trim(lower(text)), '\s+') AS wd
+  FROM documents WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 2
+), bg AS (
+  SELECT unnest(list_transform(range(1, len(wd)), i -> wd[i])) AS w1,
+         unnest(list_transform(range(1, len(wd)), i -> wd[i+1])) AS w2
+  FROM w
+), c12 AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2
+), lft AS (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+         CAST(count(*) AS BIGINT) AS n1f
+  FROM c12 GROUP BY w1
+), rgt AS (
+  SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM c12 GROUP BY w2
+), t AS (
+  SELECT CAST(count(*) AS BIGINT) AS tt FROM c12
+), j AS (
+  SELECT c.w1, c.w2, c.c12,
+    (greatest(4*c.c12 - 3, 0) * t.tt + 3 * l.n1f * r.n1b) AS num,
+    (4 * l.c1 * t.tt) AS den
+  FROM c12 c JOIN lft l ON c.w1 = l.w1 JOIN rgt r ON c.w2 = r.w2, t
+)
+SELECT w1, w2, c12,
+  CAST((num * 1000000000) // den
+       + (CASE WHEN 2 * ((num * 1000000000) % den) >= den THEN 1 ELSE 0 END)
+    AS BIGINT) AS p_kn_e9
+FROM j ORDER BY c12 DESC, w1, w2 LIMIT 100
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "log_parse_fields": q_log_parse_fields,
     "log_parse_errors": q_log_parse_errors,
@@ -2502,6 +2551,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_delta": q_crawl_delta,
     "curate_corpus_v3": q_curate_corpus_v3,
     "mix_to_recipe": q_mix_to_recipe,
+    "kn_bigram_lm": q_kn_bigram_lm,
 }
 
 ORACLES: dict[str, str] = {
@@ -2568,4 +2618,5 @@ ORACLES: dict[str, str] = {
     "crawl_delta": SQL_CRAWL_DELTA,
     "curate_corpus_v3": SQL_CURATE_CORPUS_V3,
     "mix_to_recipe": SQL_MIX_TO_RECIPE,
+    "kn_bigram_lm": SQL_KN_BIGRAM_LM,
 }

@@ -1,0 +1,98 @@
+"""Count-based n-gram language-model statistics over a corpus — the
+foundation of LM-based quality filtering (CCNet scores pages with a KenLM
+5-gram model; the count/smoothing machinery below is that idea at bigram
+order, built as pure aggregations).
+
+``kn_bigram_probs`` produces interpolated Kneser-Ney bigram probabilities
+with absolute discount d=0.75:
+
+    P(w2|w1) = max(c(w1 w2) - d, 0)/c(w1·) + lam(w1) * Pcont(w2)
+    lam(w1)  = d * N1+(w1 ·)/c(w1·)          (mass reserved for unseen)
+    Pcont(w2)= N1+(· w2)/N1+(· ·)            (continuation probability)
+
+With d = 3/4 every quantity is a ratio of integers:
+
+    P = [max(4*c12 - 3, 0) * T + 3 * n1f * n1b] / (4 * c1 * T)
+
+where c12 = bigram count, c1 = left-context count, n1f = distinct
+continuations of w1, n1b = distinct left contexts of w2, T = distinct
+bigram types. The emitted probability is that rational HALF_UP-rounded at
+1e-9 with pure BIGINT arithmetic — bit-identical in any engine (the
+round(double) cross-engine trap never enters).
+
+Scale shape: one explode over token pairs, then partial-aggregatable
+groupBys whose keys are the (hashable, short) gram strings; the three
+stat relations join back on w1/w2 — broadcastable when the vocab is small,
+sort-merge otherwise. T is collected driver-side (one scalar) to keep the
+1-row relation out of the join tree (a broadcast 1-row cross join would
+plan as a nested loop). BIGINT headroom: num ≈ 4*c12*T must stay under
+2^63/1e9 ≈ 9.2e9 — fine at the correctness gate's SF; a 10^12-token run
+emits the raw counts and defers the division to query time (or doubles),
+as KenLM itself does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import split_words
+
+DISCOUNT_NUM = 3  # d = 3/4: keeps all arithmetic integral
+DISCOUNT_DEN = 4
+
+
+def bigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w1, w2, c12) — corpus bigram counts (positional, multiset)."""
+    w = df.select(split_words(F.col(text_col)).alias("__w")).where(
+        F.size("__w") >= 2
+    )
+    pairs = w.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__w") - 1),
+                lambda i: F.struct(
+                    F.try_element_at(F.col("__w"), i.cast("int")).alias("w1"),
+                    F.try_element_at(F.col("__w"), (i + 1).cast("int")).alias("w2"),
+                ),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    return pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    )
+
+
+def kn_bigram_probs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w1, w2, c12, p_kn_e9): interpolated Kneser-Ney bigram probability
+    scaled to integer 1e-9 units (HALF_UP, exact integer arithmetic)."""
+    c12 = bigram_counts(df, text_col).persist()
+    left = c12.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n1f"),
+    )
+    right = c12.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("n1b"))
+    # T is a single scalar: collect it rather than cross-joining a 1-row
+    # relation (which would plan as a nested loop)
+    t_types = c12.count()
+    j = c12.join(left, "w1").join(right, "w2")
+    num = (
+        F.greatest(
+            F.lit(DISCOUNT_DEN) * F.col("c12") - F.lit(DISCOUNT_NUM),
+            F.lit(0).cast("bigint"),
+        )
+        * F.lit(int(t_types))
+        + F.lit(DISCOUNT_NUM) * F.col("n1f") * F.col("n1b")
+    )
+    den = F.lit(DISCOUNT_DEN) * F.col("c1") * F.lit(int(t_types))
+    # HALF_UP at 1e-9 as quotient + remainder test (NOT (2*num*1e9+den) div
+    # (2*den) — the doubled numerator would halve the BIGINT headroom)
+    j2 = j.withColumn("__num", num.cast("bigint")).withColumn(
+        "__den", den.cast("bigint")
+    )
+    q = F.expr("div(__num * 1000000000, __den)")
+    r = F.expr("pmod(__num * 1000000000, __den)")
+    p_e9 = (q + F.when(F.lit(2) * r >= F.col("__den"), 1).otherwise(0)).cast(
+        "bigint"
+    )
+    return j2.select("w1", "w2", "c12", p_e9.alias("p_kn_e9"))

@@ -224,3 +224,18 @@ def test_asof_join_carries_latest_row_atomically(spark):
     r = asof_join(left, right, key="k", right_cols=["v"]).first()
     assert str(r["ts_asof"]).startswith("2024-01-01 11:00")
     assert r["v_asof"] is None
+
+
+def test_kn_bigram_hand_computed(spark):
+    """P(b|a) on a tiny corpus, against the interpolated-KN formula by
+    hand: c(a b)=2, c(a .)=2, N1+(a .)=1, N1+(. b)=1, T=2, d=0.75 ->
+    max(2-0.75,0)/2 + (0.75*1/2)*(1/2) = 0.8125."""
+    from logprocessor_spark.operators.ngram_lm import kn_bigram_probs
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "b a")], "doc_id long, text string"
+    )
+    rows = {(r["w1"], r["w2"]): r for r in kn_bigram_probs(docs).collect()}
+    assert rows[("a", "b")]["c12"] == 2
+    assert rows[("a", "b")]["p_kn_e9"] == 812_500_000
+    assert rows[("b", "a")]["p_kn_e9"] == 812_500_000
