@@ -827,10 +827,49 @@ SQL_DEDUP_NGRAM_PAIRS = _sql_jaccard_pairs(
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash banding near-dup pairs (rows-only check)."""
+    """SimHash banding near-dup pairs, oracle-checkable configuration:
+    60-bit fingerprint over md5-derived token hashes (``md5_token_hash``)
+    so DuckDB reproduces every stage — fingerprint, 4x15-bit chunk
+    banding, exact Hamming verify — and the driver's hash gate covers the
+    whole operator. The xxh64/Arrow production path is the same machinery
+    with a different token hash; its fingerprint is verified bit-for-bit
+    against a pure-Python XXH64 reference in tests/test_dedup.py."""
     return simhash_candidates(
-        _docs_with_dupes(spark, sf_dir), max_hamming=3
+        _docs_with_dupes(spark, sf_dir), max_hamming=3, token_hash="md5"
     ).orderBy("id_a", "id_b")
+
+
+SQL_DEDUP_SIMHASH_PAIRS = r"""
+WITH dd AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 100000, text FROM documents
+), toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM dd WHERE text IS NOT NULL
+), th AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks
+), votes AS (
+  SELECT doc_id, b AS bit,
+         sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b)
+  GROUP BY doc_id, b
+), fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
+                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sh
+  FROM votes GROUP BY doc_id
+), ck AS (
+  SELECT doc_id, sh, c AS chunk, (sh >> (c * 15)) & 32767 AS cval
+  FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sha, b.sh AS shb
+  FROM ck a JOIN ck b ON a.chunk = b.chunk AND a.cval = b.cval
+                     AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sha, shb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sha, shb)) <= 3
+ORDER BY id_a, id_b
+"""
 
 
 def q_dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1230,11 +1269,70 @@ ORDER BY round(c, 6) DESC, vec_id LIMIT 10
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate top-k (rows-only check; recall asserted
-    against the exact baseline in tests/test_similarity.py)."""
+    """Hyperplane-LSH approximate top-k. Oracle-checkable end-to-end: the
+    seeded plane matrix is pure arithmetic (xxhash64 int-lane chain, see
+    ``similarity._planes_matrix``), so ``_sql_ann_lsh_topk`` materializes
+    the SAME matrix as SQL literals and DuckDB recomputes the sign-bit
+    buckets, the hamming<=1 probe set, and the exact rerank. Recall vs the
+    exact baseline additionally asserted in tests/test_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings")
     qv = emb.where(F.col("vec_id") == 7).select("embedding").first()[0]
     return lsh_ann_topk(emb, list(qv), k=10)
+
+
+def _sql_ann_lsh_topk(dim: int = 64, n_planes: int = 8, seed: int = 42) -> str:
+    """DuckDB twin of q_ann_lsh_topk: the (dim x n_planes) seeded
+    hyperplane matrix — identical doubles to what every Spark executor
+    derives from the seed (tests assert _planes_matrix == the Spark
+    expression path) — embedded as VALUES literals, then projections,
+    sign-bit bucket keys, hamming<=1 multiprobe, and exact cosine rerank
+    all in plain SQL.
+
+    Sign-bit robustness across engines: DuckDB's sum() order differs from
+    Spark's ascending-j fold, but min |projection| over the test
+    embeddings is ~1.8e-5 (measured at sf0.001/0.01/0.1) vs ~1e-13
+    relative FP-order noise — no sign can flip."""
+    from .operators.similarity import _planes_matrix
+
+    M = _planes_matrix(dim, n_planes, seed)
+    vals = ",".join(
+        f"({j},{p},{float(M[j, p])!r})"
+        for j in range(dim)
+        for p in range(n_planes)
+    )
+    return f"""
+WITH planes(j, p, w) AS (VALUES {vals}),
+flat AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+         unnest(generate_series(0, {dim - 1})) AS j
+  FROM embeddings
+),
+proj AS (
+  SELECT f.vec_id, pl.p, sum(f.x * pl.w) AS pr
+  FROM flat f JOIN planes pl USING (j)
+  GROUP BY f.vec_id, pl.p
+),
+buck AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << p)
+                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id
+),
+qb AS (SELECT bucket AS qbk FROM buck WHERE vec_id = 7),
+cand AS (
+  SELECT b.vec_id FROM buck b, qb WHERE bit_count(xor(b.bucket, qb.qbk)) <= 1
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+z AS (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+      FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q),
+s AS (SELECT vec_id, sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) AS c
+      FROM z GROUP BY vec_id)
+SELECT vec_id, round(c, 6) AS cosine_sim FROM s
+ORDER BY round(c, 6) DESC, vec_id LIMIT 10
+"""
+
+
+SQL_ANN_LSH_TOPK = _sql_ann_lsh_topk()
 
 
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2580,9 +2678,7 @@ ORACLES: dict[str, str] = {
     "dedup_minhash_pairs": SQL_DEDUP_MINHASH_PAIRS,
     "dedup_minhash_keep": SQL_DEDUP_MINHASH_KEEP,
     "dedup_ngram_pairs": SQL_DEDUP_NGRAM_PAIRS,
-    # dedup_simhash_pairs / ann_lsh_topk: xxhash64-based fingerprints are
-    # not SQL-expressible — rows-only check here; engine-independent
-    # verification lives in tests/test_dedup.py / tests/test_similarity.py.
+    "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
     "text_stats": SQL_TEXT_STATS,
     "corpus_report": SQL_CORPUS_REPORT,
     "corpus_sample": SQL_CORPUS_SAMPLE,
@@ -2593,11 +2689,19 @@ ORACLES: dict[str, str] = {
     "decontaminate": SQL_DECONTAMINATE,
     "decontaminate_spans": SQL_DECONTAMINATE_SPANS,
     "cosine_topk": SQL_COSINE_TOPK,
+    "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+    # ann_lsh_topk_pruned returns the identical result set by construction
+    # (same planes/seed/probe radius, partition-pruned scan instead of a
+    # full pass) — the same oracle SQL checks it.
+    "ann_lsh_topk_pruned": SQL_ANN_LSH_TOPK,
+    # ann_ivf_topk stays rows-only: the probe set depends on MLlib k-means
+    # centroids (iterative, seeded RNG init) which no SQL engine
+    # reproduces; sims are verified against brute force in
+    # tests/test_similarity.py and the candidate-fraction/pruning shape is
+    # plan-audited.
     "knn_join": SQL_KNN_JOIN,
     "near_dup_embeddings": SQL_NEAR_DUP_EMBEDDINGS,
     "near_dup_embeddings_lsh": SQL_NEAR_DUP_EMBEDDINGS_LSH,
-    # ann_lsh_topk_pruned: bucket membership is xxhash64-derived — rows-only
-    # for the driver; equality with ann_lsh_topk asserted in pytest.
     "doc_search_topk": SQL_DOC_SEARCH_TOPK,
     "doc_search_wildcard": SQL_DOC_SEARCH_WILDCARD,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,

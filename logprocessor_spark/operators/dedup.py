@@ -581,16 +581,17 @@ def dedup_against_index(
     )
 
 
-def simhash(text: Column, bits: int = 64) -> Column:
-    """SimHash fingerprint as a long: bit b is 1 iff the sum over tokens of
-    (+1 if bit b of xxhash64(token) else -1) is positive.
+def simhash_from_hashes(hashes: Column, bits: int = 64) -> Column:
+    """SimHash fingerprint as a long from a precomputed token-hash array:
+    bit b is 1 iff the sum over tokens of (+1 if bit b of hash else -1) is
+    positive.
 
-    One ``aggregate`` pass over the tokens builds all 64 bit-votes at once
+    One ``aggregate`` pass over the hashes builds all bit-votes at once
     (zip_with against the token hash's bit array via ``bit_get``, which
     accepts column positions); packing uses compile-time int shifts. Stays
-    JVM-side, single pass over the data."""
-    tokens = F.split(F.trim(F.lower(text)), r"\s+")
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    JVM-side, single pass over the data. NULL hash array -> NULL
+    fingerprint (otherwise every null doc packs to 0 and all of them pair
+    up at hamming distance 0)."""
     positions = F.sequence(F.lit(0), F.lit(bits - 1))
     bit_votes = F.aggregate(
         hashes,
@@ -607,9 +608,22 @@ def simhash(text: Column, bits: int = 64) -> Column:
         packed = packed + F.when(
             F.element_at(bit_votes, b + 1) > 0, F.lit(weight).cast("long")
         ).otherwise(F.lit(0).cast("long"))
-    # NULL text -> NULL fingerprint (otherwise every null doc packs to 0
-    # and all of them pair up at hamming distance 0)
-    return F.when(text.isNotNull(), packed)
+    return F.when(hashes.isNotNull(), packed)
+
+
+def simhash(text: Column, bits: int = 64) -> Column:
+    """SimHash over xxhash64 token hashes (the fast production hash)."""
+    tokens = F.split(F.trim(F.lower(text)), r"\s+")
+    return simhash_from_hashes(F.transform(tokens, lambda t: F.xxhash64(t)), bits)
+
+
+def md5_token_hash(t: Column) -> Column:
+    """60-bit token hash both Spark and DuckDB can compute identically:
+    the first 15 hex chars of md5(utf8(token)) parsed base-16. Used by the
+    oracle-checkable SimHash configuration — Spark's xxhash64 has no DuckDB
+    twin, md5 does (DuckDB: ``('0x' || substr(md5(tok),1,15))::BIGINT``).
+    15 hex chars = 60 bits < 2^63, so the long cast never overflows."""
+    return F.conv(F.substring(F.md5(F.encode(t, "UTF-8")), 1, 15), 16, 10).cast("long")
 
 
 def simhash_arrow(token_hashes: Column) -> Column:
@@ -642,20 +656,34 @@ def simhash_candidates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     arrow_fingerprint: bool = True,
+    token_hash: str = "xxh64",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64-bit fingerprint into 4
-    16-bit chunks (pigeonhole: hamming<=3 => >=1 chunk identical), bucket
-    join on (chunk_idx, chunk_value), verify exact Hamming distance."""
+    """Near-dup pairs by SimHash: band the fingerprint into 4 equal-width
+    chunks (pigeonhole: hamming<=3 => >=1 chunk identical), bucket
+    join on (chunk_idx, chunk_value), verify exact Hamming distance.
+
+    ``token_hash``: "xxh64" (default — 64-bit fingerprint, Arrow-kernel
+    fast path) or "md5" (60-bit fingerprint from ``md5_token_hash`` — same
+    banding/verify machinery, but every stage is reproducible in DuckDB so
+    the driver's Spark-vs-oracle hash gate can check it end-to-end)."""
     # persist: __sh (a 64-step HOF aggregate) feeds both self-join sides —
     # un-materialized it would be recomputed per side (see
     # _banded_candidate_pairs docstring for the full recompute story)
-    if arrow_fingerprint:
+    if token_hash == "md5":
+        bits = 60
+        hashes = F.transform(split_words(F.col(text_col)), md5_token_hash)
+        fp = simhash_from_hashes(hashes, bits)
+    elif arrow_fingerprint:
         # token hashes JVM-side (split is the transform's input — evaluated
         # once), vote+pack vectorized in the Arrow kernel
+        bits = 64
         hashes = F.transform(split_words(F.col(text_col)), lambda t: F.xxhash64(t))
         fp = simhash_arrow(hashes)
     else:
+        bits = 64
         fp = simhash(F.col(text_col))
+    chunk_w = bits // 4
+    chunk_mask = (1 << chunk_w) - 1
     base = (
         _spread(df)
         .select(F.col(id_col).alias("__id"), fp.alias("__sh"))
@@ -673,8 +701,8 @@ def simhash_candidates(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk"),
-                        F.shiftright(F.col("__sh"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("__sh"), i * chunk_w)
+                        .bitwiseAND(F.lit(chunk_mask))
                         .alias("cval"),
                     )
                     for i in range(4)
