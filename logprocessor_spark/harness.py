@@ -2208,17 +2208,29 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     is already proven exact by ``dedup_minhash_pairs`` (its doubled corpus
     contains every cross pair verified here). Index build/probe params are
     carried in the index's meta table."""
+    import atexit
+    import glob
     import hashlib
     import os
+    import re
+    import shutil
 
     from .operators.dedup import dedup_against_index, minhash_index_build
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     new = d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
     # pid-suffixed path: a fixed shared path would race when two harness
-    # processes (oracle check, plan-audit sweep, bench) run concurrently
+    # processes (oracle check, plan-audit sweep, bench) run concurrently.
+    # The dir is removed at process exit (the returned DataFrame reads it
+    # lazily, so it must outlive this call), and stale dirs left by dead
+    # pids (killed runs) are swept here so repeated runs don't leak /tmp.
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    for old in glob.glob(f"/tmp/lp_minhash_idx_{tag}_*"):
+        m = re.search(r"_(\d+)$", old)
+        if m and not os.path.exists(f"/proc/{m.group(1)}"):
+            shutil.rmtree(old, ignore_errors=True)
     path = f"/tmp/lp_minhash_idx_{tag}_{os.getpid()}"
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     minhash_index_build(d, path)  # overwrite: deterministic per run
     return dedup_against_index(new, path, threshold=0.8).orderBy(
         "new_id", "index_id"

@@ -181,12 +181,23 @@ def select_token_budget_histogram(
     tokens_col: str = "n_tokens",
     quality_col: str = "qscore",
     id_col: str = "doc_id",
+    resolution: int = 4,
+    validate_resolution: bool = False,
 ) -> DataFrame:
     """Scale path of ``select_token_budget`` — IDENTICAL output, no
-    corpus-wide sort. Exploits the quality score's fixed 4-decimal
-    resolution: per (group, quality-bucket) token masses form a histogram
-    of ≤ 10001 rows per group regardless of corpus size, so the
-    budget-boundary walk is a window over a TINY relation.
+    corpus-wide sort. VALIDATED PRECONDITION: ``quality_col`` must carry
+    at most ``resolution`` decimal places (the default 4 matches
+    ``quality_score``'s round(_, 4) contract) — a raw double score (e.g. a
+    model logit) quantizes into buckets here but not in the exact window
+    form, silently changing the selection. Callers with raw scores must
+    either raise ``resolution`` to their score's actual grain or pass
+    ``validate_resolution=True``, which runs one cheap aggregate over the
+    score column and raises on the first violation.
+
+    Exploits that fixed resolution: per (group, quality-bucket) token
+    masses form a histogram of ≤ 10^resolution + 1 rows per group
+    regardless of corpus size, so the budget-boundary walk is a window
+    over a TINY relation.
 
     * Buckets whose cumulative-from-the-top token mass fits the budget
       keep every doc (a broadcast semi-join — no sort, no shuffle of df).
@@ -205,8 +216,24 @@ def select_token_budget_histogram(
     # desc() (nulls-last) ranks NULL in the exact window form — a bare
     # NULL key would never equi-join and those docs would silently vanish
     # from this form only
+    if validate_resolution:
+        bad = (
+            df.where(
+                F.col(quality_col).isNotNull()
+                & (F.round(F.col(quality_col), resolution) != F.col(quality_col))
+            )
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise ValueError(
+                f"select_token_budget_histogram: {quality_col} has more than "
+                f"{resolution} decimal places — the bucketed selection would "
+                f"silently differ from select_token_budget; raise `resolution`"
+            )
+    scale = 10**resolution
     qk = F.coalesce(
-        F.round(F.col(quality_col) * 10000).cast("int"), F.lit(-(2**31))
+        F.round(F.col(quality_col) * scale).cast("int"), F.lit(-(2**31))
     )
     hist = (
         df.select(F.col(by), qk.alias("__qk"), F.col(tokens_col))

@@ -422,6 +422,17 @@ def resolve_dup_clusters(
         labels = jumped
         if changed == 0:
             break
+    else:
+        # min-label + pointer jumping converges in O(log diameter) rounds;
+        # exiting via max_iter means labels are still moving and keeper_ids
+        # below would be silently wrong — fail loudly instead
+        edges.unpersist()
+        pairs.unpersist()
+        raise RuntimeError(
+            f"resolve_dup_clusters: label propagation did not converge in "
+            f"{max_iter} rounds (cluster diameter > ~2^{max_iter}); "
+            f"raise max_iter"
+        )
     edges.unpersist()
     pairs.unpersist()
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("keeper_id"))

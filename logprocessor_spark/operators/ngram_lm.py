@@ -63,10 +63,20 @@ def bigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def kn_bigram_probs(df: DataFrame, text_col: str = "text") -> DataFrame:
+def kn_bigram_probs(
+    df: DataFrame, text_col: str = "text", cache_registry: list | None = None
+) -> DataFrame:
     """(w1, w2, c12, p_kn_e9): interpolated Kneser-Ney bigram probability
-    scaled to integer 1e-9 units (HALF_UP, exact integer arithmetic)."""
+    scaled to integer 1e-9 units (HALF_UP, exact integer arithmetic).
+
+    The bigram-count relation is persisted (it feeds three aggregations);
+    SQL caches are never garbage-collected, so long-lived sessions
+    composing this outside the bench/stream clearCache paths should pass
+    ``cache_registry`` (a list) and call ``.unpersist()`` on each handle
+    once the result is materialized."""
     c12 = bigram_counts(df, text_col).persist()
+    if cache_registry is not None:
+        cache_registry.append(c12)
     left = c12.groupBy("w1").agg(
         F.sum("c12").cast("bigint").alias("c1"),
         F.count(F.lit(1)).cast("bigint").alias("n1f"),

@@ -310,3 +310,28 @@ def test_mix_to_recipe_rates_and_determinism(spark):
     all_de = d.where(F.col("lang") == "de")
     kept = mix_to_recipe(all_de, {"de": 1_000_000}, budget=10**9)
     assert kept.count() == all_de.count()
+
+
+def test_token_budget_histogram_resolution_guard(spark):
+    """validate_resolution raises on a raw double score (more than
+    `resolution` decimals) instead of silently selecting differently from
+    the exact window form; passes on properly-quantized scores."""
+    import pytest
+
+    from logprocessor_spark.operators.curation import (
+        select_token_budget_histogram,
+    )
+
+    d = _budget_docs(spark)
+    raw = d.withColumn("qscore", F.col("qscore") + F.lit(1e-7))
+    with pytest.raises(ValueError, match="decimal places"):
+        select_token_budget_histogram(raw, 100, validate_resolution=True)
+    # quantized scores validate clean, and a coarser score passes a
+    # coarser declared resolution
+    ok = select_token_budget_histogram(d, 100, validate_resolution=True)
+    assert ok.count() > 0
+    raw7 = d.withColumn("qscore", F.round(F.col("qscore") + F.lit(1e-7), 7))
+    ok7 = select_token_budget_histogram(
+        raw7, 100, resolution=7, validate_resolution=True
+    )
+    assert ok7.count() > 0

@@ -383,3 +383,18 @@ def test_index_append_replay_keeps_decisions_stable(with_dupes, tmp_path):
     minhash_index_append(extra, path)  # the retry replay
     after = set(map(tuple, dedup_against_index(probe, path).collect()))
     assert before == after and len(before) > 0
+
+
+def test_resolve_dup_clusters_raises_on_non_convergence(spark):
+    """Exiting via max_iter with labels still moving must raise, not
+    silently return wrong keeper_ids (a chain of 9 nodes needs more than
+    one min-label+jump round)."""
+    import pytest
+
+    from logprocessor_spark.operators.dedup import resolve_dup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        resolve_dup_clusters(chain, max_iter=1)
