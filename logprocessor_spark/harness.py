@@ -2598,6 +2598,78 @@ FROM j ORDER BY c12 DESC, w1, w2 LIMIT 100
 """
 
 
+def q_kn_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney TRIGRAM LM statistics with backoff through
+    the continuation-count bigram level (operators/ngram_lm.py) — the
+    order-3 form of CCNet-style KenLM filtering. Integer-exact 1e-9
+    emission as in ``kn_bigram_lm``; the oracle re-derives every count
+    relation (raw trigram, continuation bigram, bigram types) and the full
+    backoff chain bit-for-bit. Top 100 trigrams by count, lexicographic
+    ties."""
+    from .operators.ngram_lm import kn_trigram_probs
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        kn_trigram_probs(d)
+        .orderBy(F.desc("c123"), "w1", "w2", "w3")
+        .limit(100)
+    )
+
+
+SQL_KN_TRIGRAM_LM = r"""
+WITH w AS (
+  SELECT string_split_regex(trim(lower(text)), '\s+') AS wd FROM documents
+), w3v AS (
+  SELECT wd FROM w WHERE len(wd) >= 3
+), tg AS (
+  SELECT unnest(list_transform(range(1, len(wd)-1), i -> wd[i]))   AS w1,
+         unnest(list_transform(range(1, len(wd)-1), i -> wd[i+1])) AS w2,
+         unnest(list_transform(range(1, len(wd)-1), i -> wd[i+2])) AS w3
+  FROM w3v
+), c123 AS (
+  SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c123 FROM tg GROUP BY w1, w2, w3
+), ctx3 AS (
+  SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12,
+         CAST(count(*) AS BIGINT) AS n3f
+  FROM c123 GROUP BY w1, w2
+), n123c AS (
+  SELECT w2, w3, CAST(count(*) AS BIGINT) AS n123c FROM c123 GROUP BY w2, w3
+), ctx2 AS (
+  SELECT w2, CAST(sum(n123c) AS BIGINT) AS n12c,
+         CAST(count(*) AS BIGINT) AS n2f
+  FROM n123c GROUP BY w2
+), w2v AS (
+  SELECT wd FROM w WHERE len(wd) >= 2
+), bg AS (
+  SELECT unnest(list_transform(range(1, len(wd)), i -> wd[i])) AS w1,
+         unnest(list_transform(range(1, len(wd)), i -> wd[i+1])) AS w2
+  FROM w2v
+), cbg AS (
+  SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2
+), rgt AS (
+  SELECT w2 AS w3, CAST(count(*) AS BIGINT) AS n1b FROM cbg GROUP BY w2
+), t AS (
+  SELECT CAST(count(*) AS BIGINT) AS tt FROM cbg
+), j AS (
+  SELECT c.w1, c.w2, c.w3, c.c123,
+    (greatest(4*c.c123 - 3, 0) * 4 * x2.n12c * t.tt
+     + 3 * x3.n3f * (greatest(4*m.n123c - 3, 0) * t.tt + 3 * x2.n2f * r.n1b)
+    ) AS num,
+    (16 * x3.c12 * x2.n12c * t.tt) AS den
+  FROM c123 c
+  JOIN ctx3 x3 ON c.w1 = x3.w1 AND c.w2 = x3.w2
+  JOIN n123c m ON c.w2 = m.w2 AND c.w3 = m.w3
+  JOIN ctx2 x2 ON c.w2 = x2.w2
+  JOIN rgt r ON c.w3 = r.w3, t
+)
+SELECT w1, w2, w3, c123,
+  CAST((num * 1000000000) // den
+       + (CASE WHEN 2 * ((num * 1000000000) % den) >= den THEN 1 ELSE 0 END)
+    AS BIGINT) AS p_kn_e9
+FROM j ORDER BY c123 DESC, w1, w2, w3 LIMIT 100
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "log_parse_fields": q_log_parse_fields,
     "log_parse_errors": q_log_parse_errors,
@@ -2662,6 +2734,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_corpus_v3": q_curate_corpus_v3,
     "mix_to_recipe": q_mix_to_recipe,
     "kn_bigram_lm": q_kn_bigram_lm,
+    "kn_trigram_lm": q_kn_trigram_lm,
 }
 
 ORACLES: dict[str, str] = {
@@ -2735,4 +2808,5 @@ ORACLES: dict[str, str] = {
     "curate_corpus_v3": SQL_CURATE_CORPUS_V3,
     "mix_to_recipe": SQL_MIX_TO_RECIPE,
     "kn_bigram_lm": SQL_KN_BIGRAM_LM,
+    "kn_trigram_lm": SQL_KN_TRIGRAM_LM,
 }

@@ -106,3 +106,121 @@ def kn_bigram_probs(
         "bigint"
     )
     return j2.select("w1", "w2", "c12", p_e9.alias("p_kn_e9"))
+
+
+def trigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w1, w2, w3, c123) — corpus trigram counts (positional, multiset)."""
+    w = df.select(split_words(F.col(text_col)).alias("__w")).where(
+        F.size("__w") >= 3
+    )
+    triples = w.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__w") - 2),
+                lambda i: F.struct(
+                    F.try_element_at(F.col("__w"), i.cast("int")).alias("w1"),
+                    F.try_element_at(F.col("__w"), (i + 1).cast("int")).alias("w2"),
+                    F.try_element_at(F.col("__w"), (i + 2).cast("int")).alias("w3"),
+                ),
+            )
+        ).alias("tg")
+    ).select("tg.w1", "tg.w2", "tg.w3")
+    return triples.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c123")
+    )
+
+
+def kn_trigram_probs(
+    df: DataFrame, text_col: str = "text", cache_registry: list | None = None
+) -> DataFrame:
+    """(w1, w2, w3, c123, p_kn_e9): interpolated Kneser-Ney TRIGRAM
+    probability with backoff through the continuation-count bigram level —
+    the order-3 step toward CCNet's KenLM 5-gram filter, kept integer-exact
+    so two engines agree bit-for-bit.
+
+    Standard interpolated KN with absolute discount d = 3/4 at each order:
+
+        P3(w3|w1 w2) = max(c123 - d, 0)/c12 + d*N3f(w1,w2)/c12 * P2(w3|w2)
+        P2(w3|w2)    = max(n123c - d, 0)/n12c + d*N2f(w2)/n12c * Pc(w3)
+        Pc(w3)       = n1b(w3) / T
+
+    where c12 = sum_w3 c123 (trigram-context total), N3f = distinct
+    continuations of (w1,w2); the MIDDLE order uses continuation counts:
+    n123c(w2,w3) = N1+(. w2 w3), n12c(w2) = sum_w3 n123c, N2f(w2) =
+    distinct continuation types of w2; the lowest order is the bigram
+    continuation distribution (n1b(w3) = N1+(. w3), T = bigram types).
+
+    With d = 3/4 everything is a ratio of integers:
+
+        num = max(4*c123-3, 0) * 4*n12c*T
+            + 3*N3f * (max(4*n123c-3, 0)*T + 3*N2f*n1b)
+        den = 16 * c12 * n12c * T
+        P3  = num/den, emitted HALF_UP at 1e-9 in pure BIGINT arithmetic.
+
+    BIGINT headroom: den*1e9 must stay under 2^63, i.e. 16*c12*n12c*T <
+    ~9.2e9 — holds at the correctness-gate SFs; past it Spark's ANSI mode
+    raises on the overflow (never silently wrong) and a 10^12-token run
+    emits the raw count relations and defers the division to query time,
+    as KenLM itself does (same contract as ``kn_bigram_probs``).
+
+    Scale shape: two explodes (trigram + bigram positions), then
+    partial-aggregatable groupBys over short string keys; the stat
+    relations join back on their gram keys — broadcastable for small
+    vocabs, sort-merge otherwise. T is one collected scalar."""
+    c123 = trigram_counts(df, text_col).persist()
+    bg = bigram_counts(df, text_col).persist()
+    if cache_registry is not None:
+        cache_registry.extend([c123, bg])
+    # highest order: raw prefix totals + distinct-continuation counts
+    ctx3 = c123.groupBy("w1", "w2").agg(
+        F.sum("c123").cast("bigint").alias("c12"),
+        F.count(F.lit(1)).cast("bigint").alias("n3f"),
+    )
+    # middle order: continuation counts N1+(. w2 w3) — c123 is already
+    # distinct per (w1,w2,w3), so counting rows counts distinct w1
+    n123c = c123.groupBy("w2", "w3").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n123c")
+    )
+    ctx2 = n123c.groupBy("w2").agg(
+        F.sum("n123c").cast("bigint").alias("n12c"),
+        F.count(F.lit(1)).cast("bigint").alias("n2f"),
+    )
+    # lowest order: bigram continuation distribution
+    n1b = bg.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("n1b"))
+    t_types = bg.count()
+    j = (
+        c123.join(ctx3, ["w1", "w2"])
+        .join(n123c, ["w2", "w3"])
+        .join(ctx2, "w2")
+        .join(n1b.withColumnRenamed("w2", "w3"), "w3")
+    )
+    t = F.lit(int(t_types))
+    num = (
+        F.greatest(
+            F.lit(DISCOUNT_DEN) * F.col("c123") - F.lit(DISCOUNT_NUM),
+            F.lit(0).cast("bigint"),
+        )
+        * F.lit(DISCOUNT_DEN)
+        * F.col("n12c")
+        * t
+        + F.lit(DISCOUNT_NUM)
+        * F.col("n3f")
+        * (
+            F.greatest(
+                F.lit(DISCOUNT_DEN) * F.col("n123c") - F.lit(DISCOUNT_NUM),
+                F.lit(0).cast("bigint"),
+            )
+            * t
+            + F.lit(DISCOUNT_NUM) * F.col("n2f") * F.col("n1b")
+        )
+    )
+    den = F.lit(16) * F.col("c12") * F.col("n12c") * t
+    j2 = j.withColumn("__num", num.cast("bigint")).withColumn(
+        "__den", den.cast("bigint")
+    )
+    q = F.expr("div(__num * 1000000000, __den)")
+    r = F.expr("pmod(__num * 1000000000, __den)")
+    p_e9 = (q + F.when(F.lit(2) * r >= F.col("__den"), 1).otherwise(0)).cast(
+        "bigint"
+    )
+    return j2.select("w1", "w2", "w3", "c123", p_e9.alias("p_kn_e9"))

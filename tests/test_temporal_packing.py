@@ -239,3 +239,58 @@ def test_kn_bigram_hand_computed(spark):
     assert rows[("a", "b")]["c12"] == 2
     assert rows[("a", "b")]["p_kn_e9"] == 812_500_000
     assert rows[("b", "a")]["p_kn_e9"] == 812_500_000
+
+
+def test_kn_trigram_hand_computed(spark):
+    """P3(w3|w1 w2) on a tiny corpus against the interpolated-KN backoff
+    chain by hand (d=0.75). Corpus "a b a b a" + "a b c":
+    P3(a|a b) = max(2-.75,0)/3 + .75*2/3 * P2(a|b)
+      with P2(a|b) = max(1-.75,0)/2 + .75*2/2 * (1/3) = 0.375
+      -> 1.25/3 + 0.5*0.375 = 0.6041666..  (e9 HALF_UP 604166667)
+    P3(c|a b) = 0.25/3 + 0.5*0.375 = 0.2708333.. (270833333)
+    P3(b|b a) = 0.25/1 + 0.75*1 * P2(b|a)
+      with P2(b|a) = 0.25/1 + 0.75*(1/3) = 0.5 -> 0.625 (625000000)."""
+    from logprocessor_spark.operators.ngram_lm import kn_trigram_probs
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b a"), (1, "a b c")], "doc_id long, text string"
+    )
+    rows = {
+        (r["w1"], r["w2"], r["w3"]): r for r in kn_trigram_probs(docs).collect()
+    }
+    assert len(rows) == 3
+    assert rows[("a", "b", "a")]["c123"] == 2
+    assert rows[("a", "b", "a")]["p_kn_e9"] == 604_166_667
+    assert rows[("a", "b", "c")]["p_kn_e9"] == 270_833_333
+    assert rows[("b", "a", "b")]["p_kn_e9"] == 625_000_000
+
+
+def test_kn_trigram_probs_sum_to_context_mass(spark):
+    """Per observed context, sum of emitted P3 over observed w3 equals
+    1 - (backoff mass not covered by observed trigrams): for context
+    (a b) with all continuations observed, total probability of observed
+    continuations + lambda * unseen P2 mass == 1. Weaker invariant that
+    holds on any corpus: every p in (0, 1e9] and per-context sums <= 1e9
+    plus rounding slack."""
+    from logprocessor_spark.operators.ngram_lm import kn_trigram_probs
+
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (1, "the quick brown cat sleeps"),
+         (2, "a quick brown fox runs over the hill")],
+        "doc_id long, text string",
+    )
+    out = kn_trigram_probs(docs)
+    rows = out.collect()
+    assert rows, "no trigrams emitted"
+    assert all(0 < r["p_kn_e9"] <= 10**9 for r in rows)
+    from collections import defaultdict
+
+    ctx = defaultdict(int)
+    for r in rows:
+        ctx[(r["w1"], r["w2"])] += r["p_kn_e9"]
+    n_per_ctx = defaultdict(int)
+    for r in rows:
+        n_per_ctx[(r["w1"], r["w2"])] += 1
+    for k, s in ctx.items():
+        assert s <= 10**9 + n_per_ctx[k], (k, s)
