@@ -78,7 +78,13 @@ def _make_input(spark, n_docs: int, workdir: str) -> str:
     return path
 
 
-def run_pipeline_once(master: str, n_docs: int, pages_path: str, out_dir: str) -> dict:
+def run_pipeline_once(
+    master: str,
+    n_docs: int,
+    pages_path: str,
+    out_dir: str,
+    partitions: list[str] | None = None,
+) -> dict:
     """End-to-end runs: scan -> parse -> enrich -> route -> fan-out write ->
     per-sink tallies -> ledger/metrics. Runs the pipeline TWICE in the same
     JVM (fresh sink dirs): the first wall includes JIT/codegen compilation
@@ -110,7 +116,9 @@ def run_pipeline_once(master: str, n_docs: int, pages_path: str, out_dir: str) -
         d = f"{out_dir}_r{i}"
         shutil.rmtree(d, ignore_errors=True)
         t0 = time.time()
-        res = run_pipeline(spark, pages_path, d, run_id=f"bench-{cores}-{i}")
+        res = run_pipeline(
+            spark, pages_path, d, run_id=f"bench-{cores}-{i}", partitions=partitions
+        )
         walls.append(round(time.time() - t0, 2))
         rows = res.rows_in
         shutil.rmtree(d, ignore_errors=True)
@@ -128,7 +136,11 @@ def run_pipeline_once(master: str, n_docs: int, pages_path: str, out_dir: str) -
 
 def mode_pipeline(args) -> None:
     out = run_pipeline_once(
-        args.master, args.docs, args.pages, args.out or tempfile.mkdtemp(prefix="benchout")
+        args.master,
+        args.docs,
+        args.pages,
+        args.out or tempfile.mkdtemp(prefix="benchout"),
+        partitions=args.partitions.split(",") if args.partitions else None,
     )
     print(json.dumps(out))
 
@@ -191,6 +203,147 @@ def mode_scaling(args) -> None:
     }
     _write_bench_md(summary)
     print(json.dumps(summary))
+
+
+def mode_scaling_mp(args) -> None:
+    """Engine analog of ``tools/cpu_probe.py`` (VERDICT r3 item 3): the
+    SAME pipeline binary run as ``nproc`` separate ``local[base]`` JVMs
+    over disjoint dt-slices of one input vs ONE ``local[base]`` JVM over
+    the full input. A real cluster runs N executors as separate JVMs with
+    separate heaps and shuffle paths — exactly this regime — so this is
+    the engine-level N→4N evidence on the high-core pair (8→32) where the
+    single-JVM ``local[32]`` artifact was flagged (BENCH/BASELINE.md).
+
+    Efficiency = speedup / nproc, speedup = wall(1 JVM, full input) /
+    wall(nproc JVMs, 1/nproc input each, concurrent; wall = slowest JVM's
+    steady run). Same total work in both configs; dt-slices are
+    round-robin so slice skew shows up honestly in the straggler wall.
+    """
+    from logprocessor_spark.session import get_spark
+
+    workdir = args.workdir or tempfile.mkdtemp(prefix="benchmp")
+    spark = get_spark("bench-gen", master=f"local[{DEFAULT_CPUS}]")
+    pages = _make_input(spark, args.docs, workdir)
+    spark.stop()
+
+    dts = sorted(
+        n.split("=", 1)[1] for n in os.listdir(pages) if n.startswith("dt=")
+    )
+    nproc, base = args.nproc, args.base_cores
+    slices = [dts[i::nproc] for i in range(nproc)]
+
+    # same heap per JVM in BOTH configs (12g is ample for 8 task threads;
+    # nproc x 12g stays well inside the 128 GiB host)
+    env = {**os.environ, "SPARK_DRIVER_MEM": "12g"}
+
+    def launch(parts: list[str], tag: str) -> subprocess.Popen:
+        cmd = [
+            sys.executable, os.path.abspath(__file__),
+            "--mode", "pipeline", "--master", f"local[{base}]",
+            "--docs", str(args.docs), "--pages", pages,
+            "--out", os.path.join(workdir, f"out_{tag}"),
+            "--partitions", ",".join(parts),
+        ]
+        return subprocess.Popen(
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            text=True, env=env,
+        )
+
+    def collect(p: subprocess.Popen) -> dict:
+        out, _ = p.communicate()
+        if p.returncode != 0:
+            raise RuntimeError(f"pipeline subprocess failed rc={p.returncode}")
+        return json.loads([ln for ln in out.splitlines() if ln.startswith("{")][-1])
+
+    singles: list[dict] = []
+    multis: list[list[dict]] = []
+    for rep in range(args.repeats):
+        singles.append(collect(launch(dts, f"s{rep}")))
+        print(
+            f"# mp rep {rep}: single local[{base}] steady {singles[-1]['wall_sec']}s",
+            file=sys.stderr,
+        )
+        procs = [launch(slices[i], f"m{rep}_{i}") for i in range(nproc)]
+        multis.append([collect(p) for p in procs])
+        print(
+            f"# mp rep {rep}: {nproc} x local[{base}] steady walls "
+            f"{[o['wall_sec'] for o in multis[-1]]}s",
+            file=sys.stderr,
+        )
+
+    t_single = min(s["wall_sec"] for s in singles)
+    multi_walls = [max(o["wall_sec"] for o in outs) for outs in multis]
+    t_multi = min(multi_walls)
+    docs = singles[0]["docs"]
+    speedup = round(t_single / t_multi, 3)
+    eff = round(speedup / nproc, 3)
+    summary = {
+        "mode": "scaling-mp",
+        "docs": docs,
+        "nproc": nproc,
+        "base_cores": base,
+        "repeats": args.repeats,
+        "single_wall": t_single,
+        "single_all_walls": [s["wall_sec"] for s in singles],
+        "multi_wall": t_multi,
+        "multi_all_walls": multi_walls,
+        "multi_per_proc_walls": [[o["wall_sec"] for o in outs] for outs in multis],
+        "single_docs_per_sec": round(docs / t_single, 1),
+        "multi_docs_per_sec": round(docs / t_multi, 1),
+        "speedup": speedup,
+        "scaling_efficiency": eff,
+        "pass_0_8": eff >= 0.8,
+    }
+    _append_mp_md(summary)
+    print(json.dumps(summary))
+
+
+MP_MARKER = "## Multi-process engine scaling (8 → 4×8 cores)"
+
+
+def _append_mp_md(s: dict) -> None:
+    """Append (or replace) the multi-process section of BENCH/BASELINE.md
+    without disturbing the single-JVM ladder above it."""
+    path = "BENCH/BASELINE.md"
+    text = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            text = f.read()
+        if MP_MARKER in text:
+            text = text[: text.index(MP_MARKER)].rstrip() + "\n"
+    per_rep = "\n".join(
+        f"| rep {i} | {s['single_all_walls'][i]} s | {w} s |"
+        for i, w in enumerate(s["multi_per_proc_walls"])
+    )
+    with open(path, "w") as f:
+        f.write(text.rstrip() + f"""
+
+{MP_MARKER}
+
+Engine-level N→4N evidence on the high-core pair (replaces the
+CPU-probe inference): the same pipeline binary over the same
+{s['docs']}-doc input, ONE local[{s['base_cores']}] JVM (full input) vs
+{s['nproc']} CONCURRENT local[{s['base_cores']}] JVMs over disjoint
+round-robin dt-slices — the separate-heap regime a real {s['nproc']}×
+executor cluster runs in. Wall = slowest JVM's steady (2nd) run;
+best-of-{s['repeats']} interleaved repeats; same 12g heap per JVM in
+both configs.
+
+| config | steady wall (best) | throughput | all walls |
+|---|---|---|---|
+| 1 × local[{s['base_cores']}], full input | {s['single_wall']} s | {s['single_docs_per_sec']} docs/sec | {s['single_all_walls']} |
+| {s['nproc']} × local[{s['base_cores']}], 1/{s['nproc']} each | {s['multi_wall']} s | {s['multi_docs_per_sec']} docs/sec | {s['multi_all_walls']} |
+
+Per-rep straggler walls (each row: single wall, then the {s['nproc']}
+per-process walls of that rep's concurrent config):
+
+| rep | single | per-process walls |
+|---|---|---|
+{per_rep}
+
+**speedup {s['speedup']}× on {s['nproc']}× cores → scaling efficiency
+{s['scaling_efficiency']}** (target ≥ 0.8: {'PASS' if s['pass_0_8'] else 'FAIL'}).
+""")
 
 
 def _write_bench_md(s: dict) -> None:
@@ -257,7 +410,13 @@ def mode_suite(args) -> None:
     # clearCache() before EVERY timed run: Spark's CacheManager substitutes
     # cached fragments into matching plans, so without it a repeat would
     # measure cache reuse, not the operator.
+    # Protocol continuity (VERDICT r3 #2): r1/r2 published single-shot
+    # walls, r3 published best-of-2 — emit BOTH series so every round pair
+    # compares apples-to-apples: `queries` stays best-of-2 (r3-comparable),
+    # `queries_cold` is the first-run wall (r1/r2-comparable, pays per-plan
+    # codegen compile).
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         fn = harness.QUERIES[name]
         walls = []
@@ -268,6 +427,7 @@ def mode_suite(args) -> None:
             n = df.count()
             walls.append(round(time.time() - t0, 3))
         timings[name] = min(walls)
+        cold[name] = walls[0]
         print(f"# {name}: {n} rows in {walls}s", file=sys.stderr)
 
     workdir = tempfile.mkdtemp(prefix="benchpipe")
@@ -284,6 +444,7 @@ def mode_suite(args) -> None:
         pipe_walls.append(round(time.time() - t0, 3))
     pipe_wall = min(pipe_walls)
     timings["pipeline_e2e"] = pipe_wall
+    cold["pipeline_e2e"] = pipe_walls[0]
     print(f"# pipeline_e2e: {res.rows_in} docs in {pipe_walls}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
@@ -293,6 +454,8 @@ def mode_suite(args) -> None:
         "unit": "sec",
         "protocol": "per-entry best-of-2 (steady-state min; r1/r2 were single-shot)",
         "queries": timings,
+        "queries_cold": cold,
+        "value_cold": round(sum(cold.values()), 3),
         "sf": _sf_of(sf_dir),
         "pipeline": {
             "docs": res.rows_in,
@@ -305,7 +468,11 @@ def mode_suite(args) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["suite", "pipeline", "scaling"], default="suite")
+    ap.add_argument(
+        "--mode",
+        choices=["suite", "pipeline", "scaling", "scaling-mp"],
+        default="suite",
+    )
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--cpus", default=DEFAULT_CPUS)
     ap.add_argument("--master", default=f"local[{DEFAULT_CPUS}]")
@@ -315,11 +482,24 @@ def main() -> None:
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--cores-ladder", default="2,8,32")
+    ap.add_argument("--partitions", default=None,
+                    help="comma-separated dt values (pipeline mode)")
+    ap.add_argument("--nproc", type=int, default=4)
+    ap.add_argument("--base-cores", type=int, default=8)
     args = ap.parse_args()
     if args.docs is None:
         # scaling needs enough parallel work to dominate fixed costs
-        args.docs = 2_000_000 if args.mode == "scaling" else PIPELINE_DOCS
-    {"suite": mode_suite, "pipeline": mode_pipeline, "scaling": mode_scaling}[args.mode](args)
+        args.docs = (
+            2_000_000 if args.mode == "scaling"
+            else 4_000_000 if args.mode == "scaling-mp"
+            else PIPELINE_DOCS
+        )
+    {
+        "suite": mode_suite,
+        "pipeline": mode_pipeline,
+        "scaling": mode_scaling,
+        "scaling-mp": mode_scaling_mp,
+    }[args.mode](args)
 
 
 if __name__ == "__main__":
