@@ -218,6 +218,16 @@ def mode_scaling_mp(args) -> None:
     wall(nproc JVMs, 1/nproc input each, concurrent; wall = slowest JVM's
     steady run). Same total work in both configs; dt-slices are
     round-robin so slice skew shows up honestly in the straggler wall.
+
+    Every JVM (single AND multi) is pinned to a disjoint ``base``-core
+    cpuset via taskset. Without pinning the comparison is dishonest in
+    both directions: a lone local[8] JVM on an idle 32-core host bursts
+    past its 8 task threads (GC/JIT/IO pools size themselves to all 32
+    cores — measured 7.8 s vs 22 s pinned on the same input), and four
+    concurrent unpinned JVMs oversubscribe 4x during codegen/GC storms
+    (measured up to 10x wall inflation). Pinning reproduces what a real
+    cluster manager does with container cpusets, which is the regime the
+    N->4N criterion describes.
     """
     from logprocessor_spark.session import get_spark
 
@@ -236,8 +246,9 @@ def mode_scaling_mp(args) -> None:
     # nproc x 12g stays well inside the 128 GiB host)
     env = {**os.environ, "SPARK_DRIVER_MEM": "12g"}
 
-    def launch(parts: list[str], tag: str) -> subprocess.Popen:
+    def launch(parts: list[str], tag: str, slot: int = 0) -> subprocess.Popen:
         cmd = [
+            "taskset", "-c", f"{slot * base}-{slot * base + base - 1}",
             sys.executable, os.path.abspath(__file__),
             "--mode", "pipeline", "--master", f"local[{base}]",
             "--docs", str(args.docs), "--pages", pages,
@@ -263,7 +274,7 @@ def mode_scaling_mp(args) -> None:
             f"# mp rep {rep}: single local[{base}] steady {singles[-1]['wall_sec']}s",
             file=sys.stderr,
         )
-        procs = [launch(slices[i], f"m{rep}_{i}") for i in range(nproc)]
+        procs = [launch(slices[i], f"m{rep}_{i}", slot=i) for i in range(nproc)]
         multis.append([collect(p) for p in procs])
         print(
             f"# mp rep {rep}: {nproc} x local[{base}] steady walls "
@@ -327,7 +338,12 @@ CPU-probe inference): the same pipeline binary over the same
 round-robin dt-slices — the separate-heap regime a real {s['nproc']}×
 executor cluster runs in. Wall = slowest JVM's steady (2nd) run;
 best-of-{s['repeats']} interleaved repeats; same 12g heap per JVM in
-both configs.
+both configs; EVERY JVM (single and multi) taskset-pinned to its own
+disjoint {s['base_cores']}-core cpuset, as a cluster manager's container
+cpuset would be — unpinned, a lone local[{s['base_cores']}] JVM bursts
+past its task threads on an idle 32-core host (GC/JIT/IO pools size to
+the whole machine) and concurrent JVMs oversubscribe 4× during
+codegen/GC storms, skewing the ratio in both directions.
 
 | config | steady wall (best) | throughput | all walls |
 |---|---|---|---|

@@ -385,6 +385,107 @@ def test_index_append_replay_keeps_decisions_stable(with_dupes, tmp_path):
     assert before == after and len(before) > 0
 
 
+def test_index_compact_equals_rebuild_and_shrinks(with_dupes, tmp_path):
+    """compact(build + append + append-replay) must answer probes exactly
+    like a fresh rebuild, while collapsing the replay's duplicate rows and
+    merging the appends' small files."""
+    from logprocessor_spark.operators.dedup import (
+        dedup_against_index,
+        minhash_index_append,
+        minhash_index_build,
+        minhash_index_compact,
+    )
+
+    corpus = with_dupes.where(F.col("doc_id") < 25).select("doc_id", "text")
+    extra = with_dupes.where(
+        (F.col("doc_id") >= 25) & (F.col("doc_id") < 10_000)
+    ).select("doc_id", "text")
+    probe = with_dupes.where(F.col("doc_id") >= 10_000).select("doc_id", "text")
+
+    path = str(tmp_path / "idx")
+    minhash_index_build(corpus, path)
+    minhash_index_append(extra, path)
+    minhash_index_append(extra, path)  # at-least-once replay
+    stats = minhash_index_compact(corpus.sparkSession, path)
+
+    rebuilt = str(tmp_path / "rebuilt")
+    minhash_index_build(corpus.unionByName(extra), rebuilt)
+
+    got = set(map(tuple, dedup_against_index(probe, path).collect()))
+    want = set(map(tuple, dedup_against_index(probe, rebuilt).collect()))
+    assert got == want and len(got) > 0
+    # the replay's rows are gone and the three writes' files are merged
+    assert stats["bands_rows_after"] < stats["bands_rows_before"]
+    assert stats["shingles_rows_after"] < stats["shingles_rows_before"]
+    assert stats["bands_files_after"] <= stats["bands_files_before"]
+    assert stats["bands_files_after"] == 1  # tiny index -> one right-sized file
+
+
+def test_index_compact_purges_deleted_ids(with_dupes, tmp_path):
+    """Retention: compacting with deleted_ids must equal rebuilding the
+    index without those documents — the TTL/unlearn hook."""
+    from logprocessor_spark.operators.dedup import (
+        dedup_against_index,
+        minhash_index_build,
+        minhash_index_compact,
+    )
+
+    corpus = with_dupes.where(F.col("doc_id") < 10_000).select("doc_id", "text")
+    probe = with_dupes.where(F.col("doc_id") >= 10_000).select("doc_id", "text")
+    drop = [r.doc_id for r in corpus.limit(13).collect()]
+
+    path = str(tmp_path / "idx")
+    minhash_index_build(corpus, path)
+    minhash_index_compact(corpus.sparkSession, path, deleted_ids=drop)
+
+    rebuilt = str(tmp_path / "rebuilt")
+    minhash_index_build(
+        corpus.where(~F.col("doc_id").isin(drop)), rebuilt
+    )
+    got = set(map(tuple, dedup_against_index(probe, path).collect()))
+    want = set(map(tuple, dedup_against_index(probe, rebuilt).collect()))
+    assert got == want
+    # none of the purged ids can ever appear as an index-side match again
+    assert not {g[1] for g in got} & set(drop)
+
+
+def test_index_probe_scan_stays_narrow_after_compact(with_dupes, tmp_path):
+    """The probe's candidate join must read ONLY (doc_id, band, bhash)
+    from the compacted bands table — a scan that drags the shingle arrays
+    into the 24 B/row join side would be quadratically wrong at crawl
+    scale."""
+    from logprocessor_spark.operators.dedup import (
+        dedup_against_index,
+        minhash_index_build,
+        minhash_index_compact,
+    )
+
+    corpus = with_dupes.where(F.col("doc_id") < 10_000).select("doc_id", "text")
+    probe = with_dupes.where(F.col("doc_id") >= 10_000).select("doc_id", "text")
+    path = str(tmp_path / "idx")
+    minhash_index_build(corpus, path)
+    minhash_index_compact(corpus.sparkSession, path)
+
+    # formatted mode puts each scan's full ReadSchema on its own line —
+    # the tree toString truncates long lines, which made this assertion
+    # depend on how long pytest's tmp_path happened to be
+    out = dedup_against_index(probe, path)
+    spark = corpus.sparkSession
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    blocks = [b for b in plan.split("\n\n") if "Scan parquet" in b]
+    band_scans = [b for b in blocks if "/bands" in b]
+    assert band_scans, plan  # the bands scan must exist
+    for b in band_scans:
+        schema = [ln for ln in b.splitlines() if ln.startswith("ReadSchema:")]
+        assert schema and "bhash" in schema[0], b
+        # the shingle column is named `sh`; bare "sh:" would also match
+        # inside "bhash:"
+        assert "<sh:" not in schema[0] and ",sh:" not in schema[0], b
+        assert "text" not in schema[0], b
+
+
 def test_resolve_dup_clusters_raises_on_non_convergence(spark):
     """Exiting via max_iter with labels still moving must raise, not
     silently return wrong keeper_ids (a chain of 9 nodes needs more than
