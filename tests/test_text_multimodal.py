@@ -112,11 +112,93 @@ def test_frame_sample_plan(spark):
     assert all(r.frame_ts_ms % 100_000 == 0 for r in rows)
 
 
-def test_real_decode_is_stubbed():
+def test_real_decode_compressed_formats_need_pil():
+    """JPEG/PNG dispatch to PIL; without it the error names the native
+    escape hatch instead of dying opaquely."""
     from logprocessor_spark.operators.multimodal import decode_image_real
 
-    with pytest.raises(NotImplementedError):
-        decode_image_real(b"\x89PNG")
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            decode_image_real(b"\x89PNG\r\n\x1a\n")
+
+
+def test_bmp_round_trip_byte_exact():
+    """encode_bmp -> decode_bmp is the identity on uint8 RGB pixels,
+    including odd widths that need 4-byte row padding."""
+    import numpy as np
+
+    from logprocessor_spark.operators.multimodal import (
+        decode_bmp,
+        decode_image_real,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(7)
+    for h, w in [(16, 24), (5, 3), (1, 1), (7, 7)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+        # the magic-byte dispatcher routes BMP to the native decoder
+        assert np.array_equal(decode_image_real(encode_bmp(img)), img)
+
+
+def test_ppm_decode_with_comments():
+    import numpy as np
+
+    from logprocessor_spark.operators.multimodal import decode_ppm
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(9, 11, 3), dtype=np.uint8)
+    ppm = b"P6\n# a comment\n11 9\n255\n" + img.tobytes()
+    assert np.array_equal(decode_ppm(ppm), img)
+
+
+def test_resize_and_features_shape():
+    import numpy as np
+
+    from logprocessor_spark.operators.multimodal import (
+        image_features,
+        resize_nearest,
+    )
+
+    img = np.zeros((10, 20, 3), dtype=np.uint8)
+    assert resize_nearest(img, 4, 3).shape == (3, 4, 3)
+    assert resize_nearest(img, 40, 25).shape == (25, 40, 3)  # upscale too
+    f = image_features(img)
+    assert len(f) == 13 and f[0] == 20.0 and f[1] == 10.0
+    assert abs(sum(f[5:]) - 1.0) < 1e-6  # histogram L1-normalized
+    assert f[5] == 1.0  # all-black image: everything in the first bucket
+
+
+def test_extract_features_real_decode_end_to_end(spark):
+    """gen_media_images emits REAL BMP payloads; extract_features with the
+    image decoder recovers true width/height in the feature vector, and a
+    corrupt payload is contained as features=None, not a task failure."""
+    from logprocessor_spark.operators.multimodal import (
+        extract_features,
+        gen_media_images,
+    )
+
+    media = gen_media_images(spark, 40, seed=5, w=24, h=16)
+    feats = extract_features(media, decoder="image")
+    rows = feats.collect()
+    assert len(rows) == 40
+    assert all(r.features is not None for r in rows)
+    assert all(r.features[0] == 24.0 and r.features[1] == 16.0 for r in rows)
+    assert len({tuple(r.features) for r in rows}) > 1  # per-id variation
+
+    # containment: flip one payload to garbage -> that row's features are
+    # null, every other row still decodes
+    poisoned = media.withColumn(
+        "payload",
+        F.when(F.col("media_id") == 3, F.lit(b"NOTANIMAGE")).otherwise(
+            F.col("payload")
+        ),
+    )
+    out = {r.media_id: r.features for r in extract_features(poisoned, decoder="image").collect()}
+    assert out[3] is None
+    assert sum(v is None for v in out.values()) == 1
 
 
 def test_remove_contaminated_spans_golden(spark):
