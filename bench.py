@@ -246,13 +246,22 @@ def mode_scaling_mp(args) -> None:
     # nproc x 12g stays well inside the 128 GiB host)
     env = {**os.environ, "SPARK_DRIVER_MEM": "12g"}
 
+    # sink output on tmpfs, like the shuffle dirs: 4 JVMs funneling their
+    # routed writes (and the reconcile read-back) through the microVM's
+    # ONE virtio disk measures that disk, not the engine — on a real
+    # cluster, sink I/O bandwidth scales with executors (HDFS/S3 fan-out),
+    # exactly as shuffle bandwidth does. Measured: concurrent quarter-slice
+    # walls 31-72 s on /tmp (disk) vs 21.3 s for the same slice solo — the
+    # gap is virtio write contention, not pipeline work.
+    shm_out = tempfile.mkdtemp(prefix="benchmp_out_", dir="/dev/shm")
+
     def launch(parts: list[str], tag: str, slot: int = 0) -> subprocess.Popen:
         cmd = [
             "taskset", "-c", f"{slot * base}-{slot * base + base - 1}",
             sys.executable, os.path.abspath(__file__),
             "--mode", "pipeline", "--master", f"local[{base}]",
             "--docs", str(args.docs), "--pages", pages,
-            "--out", os.path.join(workdir, f"out_{tag}"),
+            "--out", os.path.join(shm_out, f"out_{tag}"),
             "--partitions", ",".join(parts),
         ]
         return subprocess.Popen(
@@ -306,6 +315,7 @@ def mode_scaling_mp(args) -> None:
         "pass_0_8": eff >= 0.8,
     }
     _append_mp_md(summary)
+    shutil.rmtree(shm_out, ignore_errors=True)
     print(json.dumps(summary))
 
 

@@ -2670,6 +2670,242 @@ FROM j ORDER BY c123 DESC, w1, w2, w3 LIMIT 100
 """
 
 
+# ---------------------------------------------------------------------------
+# Group I (round 4) — URL canonicalization, paragraph dedup, inverted index,
+# hashed linear classifier
+
+
+URL_K = 100  # canonical page id = doc_id % URL_K -> URL_K canonical pages
+URL_HOSTS = 20
+
+
+def _messy_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pages(url, warc_ts, doc_id) with deliberately messy URL spellings,
+    all derived from doc_id so the oracle can re-derive the canonical form
+    analytically: page identity is k = doc_id % URL_K; spelling noise
+    (case, www., :443, tracking params, param order, fragment, trailing
+    slash) cycles on small moduli of doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ii = i.cast("int")
+    k = ii % URL_K
+    host = F.format_string("host%03d.example.com", k % URL_HOSTS)
+    prefix = F.concat(
+        F.lit("https://"),
+        F.when(ii % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+        host,
+        F.when(ii % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+    )
+    prefix = F.when(ii % 7 == 0, F.upper(prefix)).otherwise(prefix)
+    path = F.concat(
+        F.format_string("/d/%d", k),
+        F.when(ii % 13 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    qid = k.cast("string")
+    query = (
+        F.when(ii % 3 == 0, F.concat(F.lit("?id="), qid, F.lit("&utm_source=feed")))
+        .when(ii % 3 == 1, F.concat(F.lit("?utm_campaign=c&id="), qid))
+        .otherwise(F.concat(F.lit("?id="), qid))
+    )
+    frag = F.when(
+        ii % 11 == 0, F.concat(F.lit("#sec"), (ii % 5).cast("string"))
+    ).otherwise(F.lit(""))
+    warc_ts = F.to_timestamp(F.lit(BASE_TS)) + F.make_interval(
+        secs=((i * MULT) % SPAN).cast("double")
+    )
+    return docs.select(
+        F.concat(prefix, path, query, frag).alias("url"),
+        warc_ts.alias("warc_ts"),
+        i.alias("doc_id"),
+    )
+
+
+# analytic canonical form: independent of the normalizer implementation
+_SQL_URL_CANON_EXPR = (
+    f"printf('https://host%03d.example.com/d/%d?id=%d', "
+    f"CAST((doc_id % {URL_K}) % {URL_HOSTS} AS INT), "
+    f"doc_id % {URL_K}, doc_id % {URL_K})"
+)
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL normalizer (operators/urls.py): case, www., default port,
+    tracking params, param order, fragment, trailing slash — all collapse
+    to one spelling. The oracle recomputes the canonical form analytically
+    from doc_id (never running the normalizer), so every normalization
+    rule is independently cross-checked per row."""
+    from .operators.urls import canonical_url
+
+    p = _messy_pages(spark, sf_dir)
+    return p.select("doc_id", canonical_url(F.col("url")).alias("url_canon"))
+
+
+SQL_URL_CANONICALIZE = f"""
+SELECT doc_id, {_SQL_URL_CANON_EXPR} AS url_canon FROM documents
+"""
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup, keep-latest (operators/urls.py): one keeper
+    per canonical URL by (warc_ts, doc_id) — recrawl-replace semantics
+    (the web-corpus analog of the reference's id-keyed monthly upsert,
+    es.clj:99-104)."""
+    from .operators.urls import dedup_by_canonical_url
+
+    p = _messy_pages(spark, sf_dir)
+    return dedup_by_canonical_url(p).select(
+        "url_canon",
+        "keeper_id",
+        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts_str"),
+        "n_dupes",
+    )
+
+
+SQL_URL_DEDUP = f"""
+WITH u AS (
+  SELECT doc_id, {_SQL_URL_CANON_EXPR} AS url_canon,
+         TIMESTAMP '{BASE_TS}' + ((doc_id * {MULT}) % {SPAN}) * INTERVAL 1 SECOND AS warc_ts
+  FROM documents
+)
+SELECT url_canon,
+       arg_max(doc_id, ((doc_id * {MULT}) % {SPAN}) * 1000000000 + doc_id) AS keeper_id,
+       strftime(max(warc_ts), '%Y-%m-%d %H:%M:%S') AS last_ts_str,
+       CAST(count(*) AS BIGINT) AS n_dupes
+FROM u GROUP BY url_canon
+"""
+
+
+PARA_CHUNK_WORDS = 3  # small corpus vocab -> 3-word chunks collide for real
+
+
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph (word-chunk) exact dedup across the corpus:
+    corpus-wide first occurrence of each chunk survives, documents are
+    reassembled from their surviving chunks (operators/dedup.py
+    ``dedup_paragraphs``)."""
+    from .operators.dedup import dedup_paragraphs
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup_paragraphs(d, chunk_words=PARA_CHUNK_WORDS)
+
+
+SQL_DEDUP_PARAGRAPHS = f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS wd FROM documents
+), ex AS (
+  SELECT doc_id, wd,
+         unnest(range(0, CAST(ceil(len(wd) / {PARA_CHUNK_WORDS}.0) AS BIGINT))) AS idx
+  FROM w
+), ch AS (
+  SELECT doc_id, idx,
+         array_to_string(wd[(idx * {PARA_CHUNK_WORDS} + 1):(idx * {PARA_CHUNK_WORDS} + {PARA_CHUNK_WORDS})], ' ') AS chunk
+  FROM ex
+), rn AS (
+  SELECT doc_id, idx, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+  FROM ch
+)
+SELECT doc_id,
+       coalesce(string_agg(chunk, ' ' ORDER BY idx) FILTER (WHERE rn = 1), '') AS text_dedup,
+       CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+       CAST(count(*) AS BIGINT) AS n_total
+FROM rn GROUP BY doc_id
+"""
+
+
+SEARCH_TERMS = ["merge", "spark", "window"]
+TFIDF_TERMS = ["dup", "spark", "table"]
+
+
+def q_inverted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-backed conjunctive search (operators/textindex.py): the ES
+    query_string AND resolution (db.cljs:15-21) answered from a postings
+    table instead of a body scan — the layout that survives 100 TB."""
+    from .operators.textindex import build_postings, postings_search
+
+    d = _t(spark, sf_dir, "documents")
+    return postings_search(build_postings(d), SEARCH_TERMS)
+
+
+SQL_INVERTED_SEARCH = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents
+), p AS (
+  SELECT token, doc_id, count(*) AS tf FROM tok WHERE token <> '' GROUP BY 1, 2
+)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS total_tf
+FROM p WHERE token IN ({", ".join(repr(t) for t in sorted(set(SEARCH_TERMS)))})
+GROUP BY doc_id HAVING count(*) = {len(set(SEARCH_TERMS))}
+ORDER BY doc_id
+"""
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF ranking over the inverted index (operators/textindex.py):
+    score = sum(tf * ln(N/df)) rounded to 6 (same cross-engine float rule
+    as cosine scores), top-25, ties by doc_id."""
+    from .operators.textindex import tfidf_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_topk(d, TFIDF_TERMS, k=25)
+
+
+SQL_TFIDF_TOPK = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents
+), p AS (
+  SELECT token, doc_id, count(*) AS tf FROM tok
+  WHERE token IN ({", ".join(repr(t) for t in sorted(set(TFIDF_TERMS)))})
+  GROUP BY 1, 2
+), dfr AS (
+  SELECT token, count(*) AS df FROM p GROUP BY token
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+)
+SELECT p.doc_id,
+       round(sum(p.tf * ln(n.n_docs * 1.0 / dfr.df)), 6) AS score,
+       CAST(count(*) AS BIGINT) AS n_terms
+FROM p JOIN dfr USING (token), n
+GROUP BY p.doc_id
+ORDER BY score DESC, p.doc_id ASC LIMIT 25
+"""
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick linear classifier inference (functions/classifier.py):
+    integer-exact hashed-feature dot product per document, keep/drop gate.
+    The oracle re-derives the 60-bit md5 bucket and the integer weight
+    formula per token — bit-for-bit, no float drift possible."""
+    from .functions.classifier import hashed_linear_score
+
+    d = _t(spark, sf_dir, "documents")
+    return hashed_linear_score(d)
+
+
+SQL_QUALITY_CLASSIFIER = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents
+), w AS (
+  SELECT doc_id,
+         ((('0x' || substr(md5(token), 1, 15))::BIGINT % 4096) * 2654435761 + 12345)
+           % 2000001 - 1000000 AS wt
+  FROM tok WHERE token <> ''
+), agg AS (
+  SELECT doc_id, CAST(sum(wt) AS BIGINT) AS feat_sum,
+         CAST(count(*) AS BIGINT) AS n_tokens
+  FROM w GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.feat_sum, 0) AS feat_sum,
+       coalesce(a.n_tokens, 0) AS n_tokens,
+       CASE WHEN coalesce(a.feat_sum, 0) >= 0 THEN 'keep' ELSE 'drop' END AS label
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "log_parse_fields": q_log_parse_fields,
     "log_parse_errors": q_log_parse_errors,
@@ -2735,6 +2971,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mix_to_recipe": q_mix_to_recipe,
     "kn_bigram_lm": q_kn_bigram_lm,
     "kn_trigram_lm": q_kn_trigram_lm,
+    "url_canonicalize": q_url_canonicalize,
+    "url_dedup": q_url_dedup,
+    "dedup_paragraphs": q_dedup_paragraphs,
+    "inverted_search": q_inverted_search,
+    "tfidf_topk": q_tfidf_topk,
+    "quality_classifier": q_quality_classifier,
 }
 
 ORACLES: dict[str, str] = {
@@ -2809,4 +3051,10 @@ ORACLES: dict[str, str] = {
     "mix_to_recipe": SQL_MIX_TO_RECIPE,
     "kn_bigram_lm": SQL_KN_BIGRAM_LM,
     "kn_trigram_lm": SQL_KN_TRIGRAM_LM,
+    "url_canonicalize": SQL_URL_CANONICALIZE,
+    "url_dedup": SQL_URL_DEDUP,
+    "dedup_paragraphs": SQL_DEDUP_PARAGRAPHS,
+    "inverted_search": SQL_INVERTED_SEARCH,
+    "tfidf_topk": SQL_TFIDF_TOPK,
+    "quality_classifier": SQL_QUALITY_CLASSIFIER,
 }

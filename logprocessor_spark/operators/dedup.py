@@ -853,3 +853,69 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", F.round("jaccard_sim", 4).alias("jaccard_sim"))
     )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 10,
+) -> DataFrame:
+    """CCNet-style paragraph-level exact dedup: split each document into
+    fixed-width word chunks ("paragraphs" — crawl text here is
+    single-line, so width-``chunk_words`` windows stand in for blank-line
+    paragraph boundaries), drop every chunk occurrence after the corpus-
+    wide first (ordered by (doc_id, chunk_idx)), and reassemble what is
+    left of each document in order.
+
+    This removes repeated boilerplate/quoted passages ACROSS documents
+    while ``remove_boilerplate_lines`` (curation.py) removes only lines
+    frequent in many docs — CCNet runs the paragraph form over shards.
+
+    Shuffle shape at scale: explode is narrow; the first-occurrence window
+    shuffles (hash(chunk), doc_id, idx) — hash-partitioned on near-unique
+    md5 keys, so no skew and no document bodies beyond the one chunk; the
+    reassembly groupBy shuffles each surviving chunk exactly once (the
+    output IS the document — unavoidable, same as boilerplate removal).
+
+    Returns (doc_id, text_dedup, n_kept, n_total); fully-deduped docs come
+    back with ``text_dedup = ''`` and ``n_kept = 0``, letting the caller
+    gate on emptiness instead of silently losing rows.
+    """
+    from pyspark.sql.window import Window
+
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_chunks = F.ceil(F.size(words) / F.lit(float(chunk_words))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("idx"),
+            F.array_join(
+                F.slice(words, i * chunk_words + 1, chunk_words), " "
+            ).alias("chunk"),
+        ),
+    )
+    ex = df.select(F.col(id_col).alias("doc_id"), F.explode(chunks).alias("c")).select(
+        "doc_id", F.col("c.idx").alias("idx"), F.col("c.chunk").alias("chunk")
+    )
+    first = Window.partitionBy(F.md5(F.encode(F.col("chunk"), "UTF-8"))).orderBy(
+        "doc_id", "idx"
+    )
+    flagged = ex.withColumn("__rn", F.row_number().over(first))
+    kept = F.sort_array(
+        F.collect_list(
+            F.when(F.col("__rn") == 1, F.struct(F.col("idx"), F.col("chunk")))
+        )
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(kept.alias("__kept"), F.count(F.lit(1)).alias("n_total"))
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(F.col("__kept"), lambda s: s["chunk"]), " "
+            ).alias("text_dedup"),
+            F.size("__kept").cast("long").alias("n_kept"),
+            F.col("n_total"),
+        )
+    )

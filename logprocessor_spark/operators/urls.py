@@ -1,0 +1,108 @@
+"""URL canonicalization and canonical-URL dedup for crawl pages.
+
+A Common-Crawl-shaped corpus carries the same page under many URL
+spellings — scheme/host case, ``www.`` prefixes, default ports, tracking
+query params, param order, fragments, trailing slashes. Canonicalizing
+before dedup collapses these families so exact/near dedup and per-host
+caps see one key per page. (The reference has no URL surface — its keys
+are message-ids, es.clj:99-104; this is the web-corpus analog of its
+id-keyed upsert dedup.)
+
+Everything is built-in column expressions (regexp + array HOFs), no
+Python in the row path, so canonicalization runs inside whole-stage
+codegen and the dedup groupBy shuffles only (url_canon, warc_ts, id) —
+never page bodies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# query params that never identify content (analytics / click tracking)
+TRACKING_PARAM_REGEX = r"^(utm_[a-z]+|fbclid|gclid|msclkid|ref|ref_src)="
+
+
+def canonical_url(url: Column) -> Column:
+    """Normalize a URL to its canonical form:
+
+    * scheme and host lowercased; ``www.`` prefix dropped
+    * default ports stripped (``:80`` for http, ``:443`` for https)
+    * fragment dropped
+    * tracking params (``utm_*``, ``fbclid``, ``gclid``, ``msclkid``,
+      ``ref``, ``ref_src``) dropped; remaining params sorted bytewise so
+      param order never splits a key; empty query drops its ``?``
+    * trailing slash stripped from non-root paths; empty path -> ``/``
+
+    Pure Catalyst expressions (regexp_extract / array_sort / filter /
+    array_join) — codegen-friendly, and every step has a bit-identical
+    DuckDB twin (harness oracle ``url_canonicalize``).
+    """
+    nofrag = F.regexp_replace(url, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(nofrag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(nofrag, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    host = F.regexp_replace(hostport, r"^www\.", "")
+    host = F.when(
+        (scheme == "https") & host.endswith(":443"),
+        F.regexp_replace(host, r":443$", ""),
+    ).when(
+        (scheme == "http") & host.endswith(":80"),
+        F.regexp_replace(host, r":80$", ""),
+    ).otherwise(host)
+    path = F.regexp_extract(nofrag, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(
+        F.when(
+            (F.length(path) > 1) & path.endswith("/"),
+            F.substr(path, F.lit(1), F.length(path) - 1),
+        ).otherwise(path)
+    )
+    query = F.regexp_extract(nofrag, r"\?([^#]*)", 1)
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_REGEX),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(kept == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept)),
+    )
+
+
+def dedup_by_canonical_url(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Collapse a crawl to one keeper row per canonical URL: the latest
+    ``ts_col`` wins, ties broken by highest ``id_col`` (recrawl-replace
+    semantics — same keep-latest rule as the reference's id-keyed monthly
+    upsert, es.clj:99-104, keyed by canonical URL instead of message-id).
+
+    One groupBy on the canonical key; ``max_by`` over a (ts, id) struct
+    keeps the reduction map-side-combining and the shuffle rows narrow.
+    Returns (url_canon, keeper_id, last_ts, n_dupes).
+    """
+    key = canonical_url(F.col(url_col)).alias("url_canon")
+    pick = F.struct(F.col(ts_col).alias("ts"), F.col(id_col).cast("long").alias("id"))
+    return (
+        pages.select(key, pick.alias("pick"))
+        .groupBy("url_canon")
+        .agg(
+            F.max("pick").alias("w"),
+            F.count(F.lit(1)).alias("n_dupes"),
+        )
+        .select(
+            "url_canon",
+            F.col("w.id").alias("keeper_id"),
+            F.col("w.ts").alias("last_ts"),
+            "n_dupes",
+        )
+    )

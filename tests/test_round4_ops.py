@@ -1,0 +1,261 @@
+"""Round-4 operators: URL canonicalization/dedup, paragraph dedup,
+inverted-index search + TF-IDF, hashing-trick linear classifier."""
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from logprocessor_spark.functions.classifier import (
+    DEFAULT_DIM,
+    WEIGHT_ADD,
+    WEIGHT_HALF,
+    WEIGHT_MOD,
+    WEIGHT_MULT,
+    hashed_linear_score,
+)
+from logprocessor_spark.operators.dedup import dedup_paragraphs
+from logprocessor_spark.operators.textindex import (
+    build_postings,
+    postings_search,
+    tfidf_topk,
+)
+from logprocessor_spark.operators.urls import (
+    canonical_url,
+    dedup_by_canonical_url,
+)
+
+# ---------------------------------------------------------------------------
+# URL canonicalization
+
+
+CANON_CASES = [
+    # (raw, expected canonical)
+    ("https://Example.COM/a", "https://example.com/a"),
+    ("HTTPS://WWW.EXAMPLE.COM/a", "https://example.com/a"),
+    ("https://example.com:443/a", "https://example.com/a"),
+    ("http://example.com:80/a", "http://example.com/a"),
+    ("http://example.com:8080/a", "http://example.com:8080/a"),  # non-default kept
+    ("https://example.com:80/a", "https://example.com:80/a"),  # wrong default kept
+    ("https://example.com/a/", "https://example.com/a"),
+    ("https://example.com/", "https://example.com/"),  # root slash survives
+    ("https://example.com", "https://example.com/"),  # empty path -> /
+    ("https://example.com/a#frag", "https://example.com/a"),
+    ("https://example.com/a?b=2&a=1", "https://example.com/a?a=1&b=2"),
+    ("https://example.com/a?utm_source=x&a=1", "https://example.com/a?a=1"),
+    ("https://example.com/a?utm_source=x", "https://example.com/a"),
+    ("https://example.com/a?fbclid=Z&gclid=Y&ref=t&a=1", "https://example.com/a?a=1"),
+    ("https://example.com/a?refresh=1", "https://example.com/a?refresh=1"),  # not 'ref'
+    ("https://www.example.com/a?b=2&a=1#f", "https://example.com/a?a=1&b=2"),
+]
+
+
+def test_canonical_url_rules(spark):
+    df = spark.createDataFrame(
+        [(raw, want) for raw, want in CANON_CASES], ["raw", "want"]
+    )
+    rows = df.select("want", canonical_url(F.col("raw")).alias("got")).collect()
+    for r in rows:
+        assert r["got"] == r["want"], r
+
+
+def test_canonical_url_idempotent(spark):
+    """canonical(canonical(x)) == canonical(x) — a canonical form must be
+    a fixed point."""
+    df = spark.createDataFrame([(r,) for r, _ in CANON_CASES], ["raw"])
+    rows = (
+        df.select(canonical_url(F.col("raw")).alias("c1"))
+        .select("c1", canonical_url(F.col("c1")).alias("c2"))
+        .collect()
+    )
+    for r in rows:
+        assert r["c1"] == r["c2"], r
+
+
+def test_dedup_by_canonical_url_keep_latest(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2020, 1, 1)
+    rows = [
+        # one canonical family, three spellings; latest ts wins
+        ("https://www.a.com/p?utm_source=x", t0, 1),
+        ("https://A.COM/p/", t0 + dt.timedelta(hours=2), 2),
+        ("https://a.com:443/p#f", t0 + dt.timedelta(hours=1), 3),
+        # ts tie -> higher id wins
+        ("https://b.com/q", t0, 10),
+        ("https://b.com/q/", t0, 11),
+        # singleton
+        ("https://c.com/r", t0, 20),
+    ]
+    df = spark.createDataFrame(rows, ["url", "warc_ts", "doc_id"])
+    got = {
+        r["url_canon"]: (r["keeper_id"], r["n_dupes"])
+        for r in dedup_by_canonical_url(df).collect()
+    }
+    assert got == {
+        "https://a.com/p": (2, 3),
+        "https://b.com/q": (11, 2),
+        "https://c.com/r": (20, 1),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Paragraph dedup
+
+
+def _brute_para_dedup(texts, cw):
+    words = {i: t.split() for i, t in texts}
+    seen = set()
+    out = {}
+    for i in sorted(words):
+        wd = words[i]
+        nch = max(1, math.ceil(len(wd) / cw))
+        kept, total = [], 0
+        for c in range(nch):
+            chunk = " ".join(wd[c * cw : (c + 1) * cw])
+            total += 1
+            if chunk not in seen:
+                seen.add(chunk)
+                kept.append(chunk)
+        out[i] = (" ".join(kept), len(kept), total)
+    return out
+
+
+def test_dedup_paragraphs_matches_bruteforce(spark):
+    texts = [
+        (0, "a b c d e f"),
+        (1, "a b c x y z"),  # first chunk dup of doc0's
+        (2, "a b c d e f"),  # fully duplicated -> empty
+        (3, "x y z q"),  # chunk 'x y z' dup of doc1's second chunk
+        (4, "lone words here now"),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["text_dedup"], r["n_kept"], r["n_total"])
+        for r in dedup_paragraphs(df, chunk_words=3).collect()
+    }
+    assert got == _brute_para_dedup(texts, 3)
+    assert got[2] == ("", 0, 2)  # fully-deduped doc present, empty
+
+
+def test_dedup_paragraphs_on_testdata_conserves_chunks(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = dedup_paragraphs(df, chunk_words=3)
+    agg = out.agg(
+        F.sum("n_kept").alias("k"),
+        F.sum("n_total").alias("t"),
+        F.count(F.lit(1)).alias("rows"),
+    ).collect()[0]
+    assert agg["rows"] == df.count()  # every doc comes back
+    assert 0 < agg["k"] < agg["t"]  # some chunks deduped, not all
+    # kept chunks are globally unique
+    ex = out.select(F.explode(F.split("text_dedup", " ")).alias("w"))
+    assert ex.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# Inverted index + TF-IDF
+
+
+def test_postings_tf_and_search(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "spark merge window spark"),
+            (1, "spark window"),
+            (2, "merge window merge"),
+            (3, "spark merge window window"),
+        ],
+        ["doc_id", "text"],
+    )
+    p = build_postings(df)
+    tf = {(r["token"], r["doc_id"]): r["tf"] for r in p.collect()}
+    assert tf[("spark", 0)] == 2 and tf[("window", 3)] == 2
+    hits = postings_search(p, ["spark", "merge", "window"]).collect()
+    assert [(r["doc_id"], r["total_tf"]) for r in hits] == [(0, 4), (3, 4)]
+
+
+def test_postings_search_agrees_with_scan_search(spark):
+    """Index path == body-scan path on real testdata (ES analogy: the
+    postings answer must equal the query_string AND answer)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    terms = ["merge", "spark", "window"]
+    idx_ids = {
+        r["doc_id"]
+        for r in postings_search(build_postings(docs), terms).collect()
+    }
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    cond = (
+        F.size(
+            F.array_intersect(
+                F.array_distinct(toks), F.array(*[F.lit(t) for t in terms])
+            )
+        )
+        == len(terms)
+    )
+    scan_ids = {r["doc_id"] for r in docs.where(cond).select("doc_id").collect()}
+    assert idx_ids == scan_ids and idx_ids
+
+
+def test_tfidf_topk_matches_numpy(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    terms = ["dup", "spark", "table"]
+    got = [
+        (r["doc_id"], r["score"]) for r in tfidf_topk(docs, terms, k=10).collect()
+    ]
+    rows = docs.select("doc_id", "text").collect()
+    n = len(rows)
+    tfs = {}
+    for r in rows:
+        toks = r["text"].strip().lower().split()
+        for t in terms:
+            c = toks.count(t)
+            if c:
+                tfs.setdefault(t, {})[r["doc_id"]] = c
+    scores = {}
+    for t, per in tfs.items():
+        idf = math.log(n / len(per))
+        for d, c in per.items():
+            scores[d] = scores.get(d, 0.0) + c * idf
+    want = sorted(
+        ((d, round(s, 6)) for d, s in scores.items()), key=lambda x: (-x[1], x[0])
+    )[:10]
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear classifier
+
+
+def _ref_score(text):
+    s = 0
+    n = 0
+    for t in text.strip().lower().split():
+        if not t:
+            continue
+        h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+        j = h % DEFAULT_DIM
+        s += (j * WEIGHT_MULT + WEIGHT_ADD) % WEIGHT_MOD - WEIGHT_HALF
+        n += 1
+    return s, n
+
+
+def test_hashed_linear_score_matches_python_ref(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    got = {
+        r["doc_id"]: (r["feat_sum"], r["n_tokens"], r["label"])
+        for r in hashed_linear_score(docs).collect()
+    }
+    for r in docs.select("doc_id", "text").collect():
+        s, n = _ref_score(r["text"])
+        assert got[r["doc_id"]] == (s, n, "keep" if s >= 0 else "drop")
+
+
+def test_hashed_linear_score_empty_doc_and_no_shuffle(spark):
+    df = spark.createDataFrame([(0, ""), (1, "   "), (2, "spark")], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in hashed_linear_score(df).collect()}
+    assert got[0]["n_tokens"] == 0 and got[0]["feat_sum"] == 0
+    assert got[0]["label"] == "keep"
+    assert got[1]["n_tokens"] == 0
+    # scan-side gate: the classifier itself must not introduce a shuffle
+    plan = hashed_linear_score(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
