@@ -69,8 +69,12 @@ def postings_search(
         .where(F.col("n_terms") == len(terms))
         .select("doc_id", "total_tf")
     )
-    out = hits.orderBy("doc_id")
-    return out.limit(limit) if limit is not None else out
+    if limit is not None:
+        # top-k: TakeOrderedAndProject, never a global sort
+        return hits.orderBy("doc_id").limit(limit)
+    # unlimited: an unordered hit SET — a corpus-wide total sort would add
+    # a range-partition exchange for presentation only
+    return hits
 
 
 def tfidf_topk(

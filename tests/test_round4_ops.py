@@ -171,7 +171,9 @@ def test_postings_tf_and_search(spark):
     tf = {(r["token"], r["doc_id"]): r["tf"] for r in p.collect()}
     assert tf[("spark", 0)] == 2 and tf[("window", 3)] == 2
     hits = postings_search(p, ["spark", "merge", "window"]).collect()
-    assert [(r["doc_id"], r["total_tf"]) for r in hits] == [(0, 4), (3, 4)]
+    assert sorted((r["doc_id"], r["total_tf"]) for r in hits) == [(0, 4), (3, 4)]
+    top1 = postings_search(p, ["spark", "merge", "window"], limit=1).collect()
+    assert [(r["doc_id"], r["total_tf"]) for r in top1] == [(0, 4)]
 
 
 def test_postings_search_agrees_with_scan_search(spark):

@@ -303,6 +303,53 @@ def main() -> None:
         spark.sql("DROP TABLE IF EXISTS pa_lineitem_b")
         shutil.rmtree(bdir, ignore_errors=True)
 
+    # round-4 operators ------------------------------------------------
+    # hashed linear classifier: a pure scan-side gate — NO exchange at all
+    p = plan_of(harness.q_quality_classifier(spark, sf_dir))
+    check(
+        "quality_classifier: shuffle-free scan-side gate",
+        "Exchange" not in p,
+        f"exchanges={p.count('Exchange')}",
+    )
+
+    # URL canonicalization: pure map (no exchange); dedup: exactly one
+    # groupBy exchange carrying only (url_canon, ts, id)
+    p = plan_of(harness.q_url_canonicalize(spark, sf_dir))
+    check("url_canonicalize: shuffle-free map", "Exchange" not in p)
+    p = plan_of(harness.q_url_dedup(spark, sf_dir))
+    check(
+        "url_dedup: single exchange, partial max_by before it",
+        p.count("Exchange") == 1 and "partial_max" in p,
+        f"exchanges={p.count('Exchange')}",
+    )
+
+    # paragraph dedup: hash-keyed first-occurrence window + reassembly
+    # groupBy — exactly two wide shuffles, no more
+    p = plan_of(harness.q_dedup_paragraphs(spark, sf_dir))
+    check(
+        "dedup_paragraphs: two exchanges (window + reassembly)",
+        p.count("Exchange") == 2,
+        f"exchanges={p.count('Exchange')}",
+    )
+
+    # postings search: candidate filter sits between the explode and the
+    # aggregation (shuffle carries candidate tokens only), and the postings
+    # groupBy partial-aggregates map-side (the combiner shape)
+    p = plan_of(harness.q_inverted_search(spark, sf_dir))
+    check(
+        "inverted_search: explode -> filter -> combiner groupBys",
+        "Generate" in p and p.count("Exchange") == 2 and "partial_count" in p,
+        f"exchanges={p.count('Exchange')}",
+    )
+
+    # tf-idf: df and N relations broadcast (the only BNLJ is the 1-row N
+    # scalar — whitelisted in the sweep below); top-k never global-sorts
+    p = plan_of(harness.q_tfidf_topk(spark, sf_dir))
+    check(
+        "tfidf_topk: broadcast df relation + TakeOrderedAndProject",
+        "BroadcastHashJoin" in p and "TakeOrderedAndProject" in p,
+    )
+
     # sweep: NO registered query may compile to an unguarded cartesian /
     # BroadcastNestedLoopJoin plan. Two deliberate exceptions:
     #  - near_dup_embeddings: the all-pairs verification twin, count-guarded
@@ -311,7 +358,10 @@ def main() -> None:
     #    never shuffles, which IS the 100 TB shape for tiny query sets.
     import logprocessor_spark.harness as H
 
-    allowed_bnlj = {"near_dup_embeddings", "knn_join"}
+    #  - tfidf_topk: crossJoin against a BROADCAST SINGLE-ROW scalar (the
+    #    corpus doc count) — a 1-row BNLJ is a map-side literal attach,
+    #    not a candidate-pair explosion.
+    allowed_bnlj = {"near_dup_embeddings", "knn_join", "tfidf_topk"}
     offenders = []
     for qname, qfn in H.QUERIES.items():
         try:
