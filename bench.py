@@ -58,6 +58,10 @@ HEADLINE = [
     "host_cap",             # per-host cap (salted two-phase top-k)
     "boilerplate_removal",  # corpus-frequency line dedup
     "curate_corpus_v3",     # full curation chain: boilerplate -> cap -> gates -> dedup -> budget
+    "dedup_paragraphs",     # CCNet paragraph-chunk corpus dedup (r4)
+    "url_dedup",            # canonical-URL keep-latest dedup (r4)
+    "inverted_search",      # postings-intersection AND search (r4)
+    "quality_classifier",   # hashed linear classifier gate (r4)
 ]
 
 
