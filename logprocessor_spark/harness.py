@@ -2813,6 +2813,27 @@ FROM rn GROUP BY doc_id
 """
 
 
+def q_host_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist gate (operators/urls.py filter_blocked_hosts):
+    broadcast LEFT ANTI probe on the extracted host — the corpus never
+    shuffles. Blocklist = every 7th host of the 200-host synthetic crawl;
+    the oracle re-derives membership from doc_id arithmetic."""
+    from .operators.urls import filter_blocked_hosts
+
+    pages = pages_from_documents(spark, sf_dir)
+    blocklist = spark.range(0, 200).where(F.col("id") % 7 == 0).select(
+        F.format_string("host%03d.example.com", F.col("id").cast("int")).alias("host")
+    )
+    return filter_blocked_hosts(pages, blocklist).select("url", "lang")
+
+
+SQL_HOST_BLOCKLIST_FILTER = """
+SELECT printf('https://host%03d.example.com/d/%d', CAST(doc_id % 200 AS INT), doc_id) AS url,
+       lang
+FROM documents WHERE (doc_id % 200) % 7 <> 0
+"""
+
+
 SEARCH_TERMS = ["merge", "spark", "window"]
 TFIDF_TERMS = ["dup", "spark", "table"]
 
@@ -2977,6 +2998,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "inverted_search": q_inverted_search,
     "tfidf_topk": q_tfidf_topk,
     "quality_classifier": q_quality_classifier,
+    "host_blocklist_filter": q_host_blocklist_filter,
 }
 
 ORACLES: dict[str, str] = {
@@ -3057,4 +3079,5 @@ ORACLES: dict[str, str] = {
     "inverted_search": SQL_INVERTED_SEARCH,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "quality_classifier": SQL_QUALITY_CLASSIFIER,
+    "host_blocklist_filter": SQL_HOST_BLOCKLIST_FILTER,
 }

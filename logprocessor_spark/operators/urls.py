@@ -106,3 +106,29 @@ def dedup_by_canonical_url(
             "n_dupes",
         )
     )
+
+
+def filter_blocked_hosts(
+    pages: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    blocked_col: str = "host",
+) -> DataFrame:
+    """Drop pages whose host appears on a blocklist (the spam/adult/
+    malware domain-list gate every web-corpus pipeline runs before
+    curation — C4/RefinedWeb both filter on domain lists).
+
+    The blocklist is dimension-sized (10^5-10^7 hosts vs 10^12 pages), so
+    it broadcasts and the gate is a map-side LEFT ANTI probe — the corpus
+    never shuffles, and Catalyst folds the host extraction + probe into
+    the scan stage of whatever plan follows.
+    """
+    from .curation import host_of
+
+    probe = pages.withColumn("__host", host_of(F.col(url_col)))
+    out = probe.join(
+        F.broadcast(blocklist.select(F.col(blocked_col).alias("__host"))),
+        on="__host",
+        how="left_anti",
+    )
+    return out.drop("__host")

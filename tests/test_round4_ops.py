@@ -261,3 +261,55 @@ def test_hashed_linear_score_empty_doc_and_no_shuffle(spark):
     # scan-side gate: the classifier itself must not introduce a shuffle
     plan = hashed_linear_score(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Host blocklist filter
+
+
+def test_filter_blocked_hosts(spark):
+    from logprocessor_spark.operators.urls import filter_blocked_hosts
+
+    pages = spark.createDataFrame(
+        [
+            ("https://bad.example.com/a", 0),
+            ("https://good.example.com/b", 1),
+            ("https://www.good2.example.com:443/c", 2),
+        ],
+        ["url", "doc_id"],
+    )
+    bl = spark.createDataFrame([("bad.example.com",)], ["host"])
+    kept = filter_blocked_hosts(pages, bl)
+    assert {r["doc_id"] for r in kept.collect()} == {1, 2}
+    assert kept.columns == ["url", "doc_id"]  # helper column dropped
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+# ---------------------------------------------------------------------------
+# Partitioning invariance: results must not depend on the physical layout
+
+
+def _canon_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_round4_ops_partitioning_invariant(spark):
+    """Same logical result under radically different partitionings — the
+    property that makes an operator safe to move from local[4] to 1000
+    executors. Exercises the window/groupBy key paths of each r4 op."""
+    import logprocessor_spark.harness as H
+
+    sf = "/root/testdata/sf0.001"
+    base = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for q in ["dedup_paragraphs", "url_dedup", "quality_classifier",
+                  "inverted_search", "host_blocklist_filter"]:
+            spark.conf.set("spark.sql.shuffle.partitions", "2")
+            a = _canon_rows(H.QUERIES[q](spark, sf))
+            spark.conf.set("spark.sql.shuffle.partitions", "17")
+            b = _canon_rows(H.QUERIES[q](spark, sf))
+            assert a == b, f"{q} depends on partitioning"
+            assert a, f"{q} returned nothing"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", base)

@@ -350,6 +350,14 @@ def main() -> None:
         "BroadcastHashJoin" in p and "TakeOrderedAndProject" in p,
     )
 
+    # blocklist gate: broadcast LEFT ANTI — the corpus side never shuffles
+    p = plan_of(harness.q_host_blocklist_filter(spark, sf_dir))
+    check(
+        "host_blocklist: broadcast anti probe, zero corpus exchanges",
+        "BroadcastHashJoin" in p and "LeftAnti" in p
+        and "Exchange hashpartitioning" not in p,
+    )
+
     # sweep: NO registered query may compile to an unguarded cartesian /
     # BroadcastNestedLoopJoin plan. Two deliberate exceptions:
     #  - near_dup_embeddings: the all-pairs verification twin, count-guarded
