@@ -2927,6 +2927,89 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+def _pq_sql_cb() -> str:
+    from .operators.pq import _CB_A, _CB_B, _CB_C, _CB_D, _CB_MOD, PQ_DS, PQ_K, PQ_M
+
+    cols = ",\n         ".join(
+        f"((s.s*{_CB_A} + k.k*{_CB_B} + {d}*{_CB_C} + {_CB_D}) % {_CB_MOD})"
+        f"/1000.0 - 1.0 AS c{d}"
+        for d in range(PQ_DS)
+    )
+    return f"""cb AS (
+  SELECT s.s AS s, k.k AS k,
+         {cols}
+  FROM (SELECT unnest(range({PQ_M})) AS s) s,
+       (SELECT unnest(range({PQ_K})) AS k) k
+)"""
+
+
+def _pq_sql_dist(v: str) -> str:
+    """Left-associated (d ascending) squared-L2 sum — the same fold order
+    as operators/pq._sub_dist, so the doubles are bit-identical."""
+    from .operators.pq import PQ_DS
+
+    return " + ".join(
+        f"(({v}[s*{PQ_DS}+{d + 1}] - c{d}) * ({v}[s*{PQ_DS}+{d + 1}] - c{d}))"
+        for d in range(PQ_DS)
+    )
+
+
+_PQ_SQL_CODES_CTE = f"""
+WITH {_pq_sql_cb()},
+sub AS (
+  SELECT vec_id, embedding AS v, unnest(range(8)) AS s FROM embeddings
+), d AS (
+  SELECT vec_id, s, k, {_pq_sql_dist('v')} AS dist FROM sub JOIN cb USING (s)
+), r AS (
+  SELECT vec_id, s, k,
+         row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, k) AS rn
+  FROM d
+), codes AS (
+  SELECT vec_id, s, k AS code FROM r WHERE rn = 1
+)
+"""
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode (operators/pq.py): nearest formula centroid per subspace,
+    integer codes — the 32x-compressed representation of the embedding
+    column. The oracle re-derives the codebook from the integer formula
+    and the argmin from the same left-associated distance fold, so the
+    gate is exact (no FP rounding in the hashed output)."""
+    from .operators.pq import formula_codebook, pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_encode(emb, formula_codebook(spark))
+
+
+SQL_PQ_CODES = _PQ_SQL_CODES_CTE + """
+SELECT vec_id, s, code FROM codes
+"""
+
+
+def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k (operators/pq.py): the query's MxK
+    distance table is built engine-side and broadcast; candidates cost M
+    integer lookups each — the 100 TB shape where float vectors are never
+    read at query time."""
+    from .operators.pq import pq_adc_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_adc_topk(emb, query_vec_id=7, k_out=10)
+
+
+SQL_PQ_ANN_TOPK = _PQ_SQL_CODES_CTE + """
+, q AS (
+  SELECT embedding AS v, unnest(range(8)) AS s FROM embeddings WHERE vec_id = 7
+), qt AS (
+  SELECT s, k AS code, {dist} AS qd FROM q JOIN cb USING (s)
+)
+SELECT c.vec_id, round(sum(qt.qd), 6) AS adc_dist
+FROM codes c JOIN qt ON c.s = qt.s AND c.code = qt.code
+GROUP BY c.vec_id ORDER BY adc_dist, c.vec_id LIMIT 10
+""".replace("{dist}", _pq_sql_dist("v"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "log_parse_fields": q_log_parse_fields,
     "log_parse_errors": q_log_parse_errors,
@@ -2999,6 +3082,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_topk": q_tfidf_topk,
     "quality_classifier": q_quality_classifier,
     "host_blocklist_filter": q_host_blocklist_filter,
+    "pq_codes": q_pq_codes,
+    "pq_ann_topk": q_pq_ann_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -3080,4 +3165,6 @@ ORACLES: dict[str, str] = {
     "tfidf_topk": SQL_TFIDF_TOPK,
     "quality_classifier": SQL_QUALITY_CLASSIFIER,
     "host_blocklist_filter": SQL_HOST_BLOCKLIST_FILTER,
+    "pq_codes": SQL_PQ_CODES,
+    "pq_ann_topk": SQL_PQ_ANN_TOPK,
 }

@@ -304,7 +304,7 @@ def test_round4_ops_partitioning_invariant(spark):
     base = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         for q in ["dedup_paragraphs", "url_dedup", "quality_classifier",
-                  "inverted_search", "host_blocklist_filter"]:
+                  "inverted_search", "host_blocklist_filter", "pq_codes"]:
             spark.conf.set("spark.sql.shuffle.partitions", "2")
             a = _canon_rows(H.QUERIES[q](spark, sf))
             spark.conf.set("spark.sql.shuffle.partitions", "17")
@@ -313,3 +313,101 @@ def test_round4_ops_partitioning_invariant(spark):
             assert a, f"{q} returned nothing"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", base)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization
+
+
+def test_pq_encode_matches_numpy(spark):
+    import numpy as np
+
+    from logprocessor_spark.operators.pq import (
+        PQ_DS,
+        PQ_K,
+        PQ_M,
+        _CB_A,
+        _CB_B,
+        _CB_C,
+        _CB_D,
+        _CB_MOD,
+        formula_codebook,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(40)
+    got = {
+        (r["vec_id"], r["s"]): r["code"]
+        for r in pq_encode(emb, formula_codebook(spark)).collect()
+    }
+    cb = np.array(
+        [
+            [
+                [
+                    ((s * _CB_A + k * _CB_B + d * _CB_C + _CB_D) % _CB_MOD) / 1000.0
+                    - 1.0
+                    for d in range(PQ_DS)
+                ]
+                for k in range(PQ_K)
+            ]
+            for s in range(PQ_M)
+        ]
+    )
+    for r in emb.collect():
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        for s in range(PQ_M):
+            sub = v[s * PQ_DS : (s + 1) * PQ_DS]
+            dists = ((cb[s] - sub) ** 2).sum(axis=1)
+            want = int(np.argmin(dists))  # unique-min in practice
+            assert got[(r["vec_id"], s)] == want, (r["vec_id"], s)
+
+
+def test_pq_adc_topk_matches_numpy_and_is_sane(spark):
+    import numpy as np
+
+    from logprocessor_spark.operators.pq import (
+        PQ_DS,
+        PQ_K,
+        PQ_M,
+        _CB_A,
+        _CB_B,
+        _CB_C,
+        _CB_D,
+        _CB_MOD,
+        pq_adc_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = [(r["vec_id"], r["adc_dist"]) for r in pq_adc_topk(emb, 7, k_out=10).collect()]
+    rows = emb.collect()
+    cb = np.array(
+        [
+            [
+                [
+                    ((s * _CB_A + k * _CB_B + d * _CB_C + _CB_D) % _CB_MOD) / 1000.0
+                    - 1.0
+                    for d in range(PQ_DS)
+                ]
+                for k in range(PQ_K)
+            ]
+            for s in range(PQ_M)
+        ]
+    )
+    q = np.asarray(next(r["embedding"] for r in rows if r["vec_id"] == 7), np.float64)
+    qtab = np.array(
+        [((cb[s] - q[s * PQ_DS : (s + 1) * PQ_DS]) ** 2).sum(axis=1) for s in range(PQ_M)]
+    )
+    scores = {}
+    for r in rows:
+        v = np.asarray(r["embedding"], np.float64)
+        adc = 0.0
+        for s in range(PQ_M):
+            sub = v[s * PQ_DS : (s + 1) * PQ_DS]
+            code = int(((cb[s] - sub) ** 2).sum(axis=1).argmin())
+            adc += qtab[s][code]
+        scores[r["vec_id"]] = round(adc, 6)
+    want = sorted(scores.items(), key=lambda x: (x[1], x[0]))[:10]
+    assert got == want
+    # sanity: the query vector itself is among the nearest by ADC (its
+    # distance is pure quantization error)
+    assert 7 in {v for v, _ in got}

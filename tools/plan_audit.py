@@ -358,6 +358,17 @@ def main() -> None:
         and "Exchange hashpartitioning" not in p,
     )
 
+    # PQ: codebook and query-distance-table broadcast; the only wide
+    # shuffles are the encode argmin and the ADC sum
+    p = plan_of(harness.q_pq_ann_topk(spark, sf_dir))
+    check(
+        "pq_ann_topk: broadcast codebook+qtab, 2 exchanges, top-k",
+        p.count("BroadcastHashJoin") >= 2 and "TakeOrderedAndProject" in p
+        and p.count("Exchange hashpartitioning") == 2,
+        f"bhj={p.count('BroadcastHashJoin')} "
+        f"hash_exchanges={p.count('Exchange hashpartitioning')}",
+    )
+
     # sweep: NO registered query may compile to an unguarded cartesian /
     # BroadcastNestedLoopJoin plan. Two deliberate exceptions:
     #  - near_dup_embeddings: the all-pairs verification twin, count-guarded
