@@ -62,6 +62,8 @@ HEADLINE = [
     "url_dedup",            # canonical-URL keep-latest dedup (r4)
     "inverted_search",      # postings-intersection AND search (r4)
     "quality_classifier",   # hashed linear classifier gate (r4)
+    "curate_corpus_v4",     # crawl-side chain: blocklist -> url dedup -> para dedup -> classifier (r4)
+    "pq_ann_topk",          # product-quantization ADC top-k (r4)
 ]
 
 

@@ -2927,6 +2927,105 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+V4_BLOCKED_HOST_IDS = [3, 7, 11]
+
+
+def q_curate_corpus_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CRAWL-side curation chain (runs before v3's text-side chain in
+    a real pipeline), composed from round-4 stages that are each
+    hash-verified standalone: domain-blocklist gate (broadcast anti) ->
+    canonical-URL keep-latest dedup -> corpus-wide paragraph dedup ->
+    hashed-linear-classifier keep gate. One logical plan; the oracle
+    composes each stage's verified SQL plus the analytic URL identities.
+
+    Scale shape: blocklist + classifier are scan-side (no corpus
+    shuffle); URL dedup shuffles only (url_canon, ts, id); paragraph
+    dedup is the hash-keyed window + one reassembly groupBy. The deduped
+    relation is persisted — the classifier gate and the final projection
+    both read it."""
+    from .functions.classifier import hashed_linear_score
+    from .operators.dedup import dedup_paragraphs
+    from .operators.urls import dedup_by_canonical_url, filter_blocked_hosts
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = _messy_pages(spark, sf_dir)
+    blocklist = spark.createDataFrame(
+        [(f"host{b:03d}.example.com",) for b in V4_BLOCKED_HOST_IDS], ["host"]
+    )
+    unblocked = filter_blocked_hosts(pages, blocklist)
+    keepers = dedup_by_canonical_url(unblocked).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    kept_docs = docs.join(keepers, "doc_id", "leftsemi")
+    deduped = dedup_paragraphs(kept_docs, chunk_words=PARA_CHUNK_WORDS).persist()
+    scored = hashed_linear_score(deduped, text_col="text_dedup")
+    return (
+        deduped.join(
+            scored.where(F.col("label") == "keep").select("doc_id", "feat_sum"),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            "n_kept",
+            "n_total",
+            "feat_sum",
+            F.md5(F.encode("text_dedup", "UTF-8")).alias("clean_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_CURATE_CORPUS_V4 = f"""
+WITH keep0 AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (
+      PARTITION BY doc_id % {URL_K}
+      ORDER BY ((doc_id * {MULT}) % {SPAN}) DESC, doc_id DESC) AS rn
+    FROM documents
+    WHERE ((doc_id % {URL_K}) % {URL_HOSTS}) NOT IN
+          ({", ".join(str(b) for b in V4_BLOCKED_HOST_IDS)})
+  ) WHERE rn = 1
+), w AS (
+  SELECT d.doc_id, string_split_regex(trim(d.text), '\\s+') AS wd
+  FROM documents d JOIN keep0 USING (doc_id)
+), ex AS (
+  SELECT doc_id, wd,
+         unnest(range(0, CAST(ceil(len(wd) / {PARA_CHUNK_WORDS}.0) AS BIGINT))) AS idx
+  FROM w
+), ch AS (
+  SELECT doc_id, idx,
+         array_to_string(wd[(idx * {PARA_CHUNK_WORDS} + 1):(idx * {PARA_CHUNK_WORDS} + {PARA_CHUNK_WORDS})], ' ') AS chunk
+  FROM ex
+), srn AS (
+  SELECT doc_id, idx, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+  FROM ch
+), reb AS (
+  SELECT doc_id,
+         coalesce(string_agg(chunk, ' ' ORDER BY idx) FILTER (WHERE rn = 1), '') AS text_dedup,
+         CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+         CAST(count(*) AS BIGINT) AS n_total
+  FROM srn GROUP BY doc_id
+), tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text_dedup)), '\\s+')) AS token
+  FROM reb
+), wt AS (
+  SELECT doc_id,
+         ((('0x' || substr(md5(token), 1, 15))::BIGINT % 4096) * 2654435761 + 12345)
+           % 2000001 - 1000000 AS wt
+  FROM tok WHERE token <> ''
+), agg AS (
+  SELECT doc_id, CAST(sum(wt) AS BIGINT) AS feat_sum FROM wt GROUP BY doc_id
+)
+SELECT r.doc_id, r.n_kept, r.n_total,
+       coalesce(a.feat_sum, 0) AS feat_sum,
+       md5(r.text_dedup) AS clean_fp
+FROM reb r LEFT JOIN agg a USING (doc_id)
+WHERE coalesce(a.feat_sum, 0) >= 0
+ORDER BY r.doc_id
+"""
+
+
 def _pq_sql_cb() -> str:
     from .operators.pq import _CB_A, _CB_B, _CB_C, _CB_D, _CB_MOD, PQ_DS, PQ_K, PQ_M
 
@@ -3084,6 +3183,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_blocklist_filter": q_host_blocklist_filter,
     "pq_codes": q_pq_codes,
     "pq_ann_topk": q_pq_ann_topk,
+    "curate_corpus_v4": q_curate_corpus_v4,
 }
 
 ORACLES: dict[str, str] = {
@@ -3167,4 +3267,5 @@ ORACLES: dict[str, str] = {
     "host_blocklist_filter": SQL_HOST_BLOCKLIST_FILTER,
     "pq_codes": SQL_PQ_CODES,
     "pq_ann_topk": SQL_PQ_ANN_TOPK,
+    "curate_corpus_v4": SQL_CURATE_CORPUS_V4,
 }

@@ -122,10 +122,14 @@ def filter_blocked_hosts(
     it broadcasts and the gate is a map-side LEFT ANTI probe — the corpus
     never shuffles, and Catalyst folds the host extraction + probe into
     the scan stage of whatever plan follows.
+
+    The probe host comes from the CANONICAL URL (case, ``www.``, ports
+    normalized) — a blocklist names one canonical host, and a page must
+    not dodge it by spelling (``WWW.BAD.COM:443`` vs ``bad.com``).
     """
     from .curation import host_of
 
-    probe = pages.withColumn("__host", host_of(F.col(url_col)))
+    probe = pages.withColumn("__host", host_of(canonical_url(F.col(url_col))))
     out = probe.join(
         F.broadcast(blocklist.select(F.col(blocked_col).alias("__host"))),
         on="__host",

@@ -369,6 +369,14 @@ def main() -> None:
         f"hash_exchanges={p.count('Exchange hashpartitioning')}",
     )
 
+    # v4 crawl-side chain: blocklist anti broadcast, deduped relation
+    # persisted (classifier gate + final projection both read it)
+    p = plan_of(harness.q_curate_corpus_v4(spark, sf_dir))
+    check(
+        "curate_v4: broadcast anti blocklist + persisted dedup relation",
+        "LeftAnti" in p and "BroadcastHashJoin" in p and "InMemoryTableScan" in p,
+    )
+
     # sweep: NO registered query may compile to an unguarded cartesian /
     # BroadcastNestedLoopJoin plan. Two deliberate exceptions:
     #  - near_dup_embeddings: the all-pairs verification twin, count-guarded
