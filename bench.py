@@ -64,6 +64,7 @@ HEADLINE = [
     "quality_classifier",   # hashed linear classifier gate (r4)
     "curate_corpus_v4",     # crawl-side chain: blocklist -> url dedup -> para dedup -> classifier (r4)
     "pq_ann_topk",          # product-quantization ADC top-k (r4)
+    "ivfpq_topk",           # IVF + residual-PQ probe search (r4)
 ]
 
 

@@ -3109,6 +3109,127 @@ GROUP BY c.vec_id ORDER BY adc_dist, c.vec_id LIMIT 10
 """.replace("{dist}", _pq_sql_dist("v"))
 
 
+def _ivf_sql_parts() -> tuple[str, str, str]:
+    """(gco CTE, gsub CTE, full-dist expr) for the IVF oracle — centroids
+    from the integer formula, distances as the same left-associated folds
+    as operators/pq."""
+    from .operators.pq import _CB_MOD, _CO_A, _CO_B, _CO_C, IVF_KC, PQ_DS, PQ_M
+
+    dim = PQ_M * PQ_DS
+    gco_cols = ",\n         ".join(
+        f"((c.c*{_CO_A} + {d}*{_CO_B} + {_CO_C}) % {_CB_MOD})/1000.0 - 1.0 AS g{d}"
+        for d in range(dim)
+    )
+    gco = (
+        f"gco AS (\n  SELECT c.c AS c,\n         {gco_cols}\n"
+        f"  FROM (SELECT unnest(range({IVF_KC})) AS c) c\n)"
+    )
+    gsub_cols = ",\n         ".join(
+        f"((c.c*{_CO_A} + (s.s*{PQ_DS}+{d})*{_CO_B} + {_CO_C}) % {_CB_MOD})"
+        f"/1000.0 - 1.0 AS h{d}"
+        for d in range(PQ_DS)
+    )
+    gsub = (
+        f"gsub AS (\n  SELECT c.c AS c, s.s AS s,\n         {gsub_cols}\n"
+        f"  FROM (SELECT unnest(range({IVF_KC})) AS c) c,\n"
+        f"       (SELECT unnest(range({PQ_M})) AS s) s\n)"
+    )
+    fdist = " + ".join(
+        f"((v[{d + 1}] - g{d}) * (v[{d + 1}] - g{d}))" for d in range(dim)
+    )
+    return gco, gsub, fdist
+
+
+def _ivf_sql_res_dist(q: str) -> str:
+    """Residual-PQ distance with the subspace column qualified by ``q``
+    (it appears in both the vector CTE and the codebook join)."""
+    from .operators.pq import PQ_DS
+
+    return " + ".join(
+        f"(((v[{q}.s*{PQ_DS}+{d + 1}] - h{d}) - c{d})"
+        f" * ((v[{q}.s*{PQ_DS}+{d + 1}] - h{d}) - c{d}))"
+        for d in range(PQ_DS)
+    )
+
+
+def _ivf_sql_lists_cte() -> str:
+    gco, gsub, fdist = _ivf_sql_parts()
+    return f"""
+WITH {gco},
+{gsub},
+{_pq_sql_cb()},
+ev AS (SELECT vec_id, embedding AS v FROM embeddings),
+ad AS (SELECT ev.vec_id, gco.c, {fdist} AS dist FROM ev, gco),
+arn AS (
+  SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+  FROM ad
+), lists AS (SELECT vec_id, c AS list_id FROM arn WHERE rn = 1)
+"""
+
+
+def q_ivf_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse assignment (operators/pq.py ivf_assign): each vector's
+    inverted list = nearest formula coarse centroid, computed as one
+    64-term deterministic fold — integer output, exact gate. At scale
+    list_id is the codes table's physical partitioning key."""
+    from .operators.pq import coarse_codebook, ivf_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_assign(emb, coarse_codebook(spark))
+
+
+SQL_IVF_LISTS = _ivf_sql_lists_cte() + """
+SELECT vec_id, list_id FROM lists
+"""
+
+
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (FAISS IVFADC shape): probe the 2 nearest inverted lists,
+    rank their members by residual-PQ asymmetric distance. The probe
+    filter prunes the codes table to the probed lists — the 10^12-vector
+    architecture where a query touches M lookups per candidate in 2/KC of
+    the corpus."""
+    from .operators.pq import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivfpq_topk(emb, query_vec_id=7, k_out=10)
+
+
+SQL_IVFPQ_TOPK = _ivf_sql_lists_cte() + """
+, esub AS (
+  SELECT ev.vec_id, l.list_id, ev.v, unnest(range(8)) AS s
+  FROM ev JOIN lists l USING (vec_id)
+), escore AS (
+  SELECT esub.vec_id, esub.list_id, esub.s, cb.k, {rdist_e} AS dist
+  FROM esub
+  JOIN gsub ON gsub.c = esub.list_id AND gsub.s = esub.s
+  JOIN cb ON cb.s = esub.s
+), ern AS (
+  SELECT vec_id, list_id, s, k,
+         row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, k) AS rn
+  FROM escore
+), codes AS (
+  SELECT vec_id, list_id, s, k AS code FROM ern WHERE rn = 1
+), q AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 7),
+qd AS (SELECT gco.c, {fdist} AS dist FROM q, gco),
+probes AS (SELECT c AS list_id FROM qd ORDER BY dist, c LIMIT 2),
+qsub AS (
+  SELECT p.list_id, q.v, unnest(range(8)) AS s FROM q, probes p
+), qtab AS (
+  SELECT qsub.list_id, qsub.s, cb.k AS code, {rdist_q} AS qdist
+  FROM qsub
+  JOIN gsub ON gsub.c = qsub.list_id AND gsub.s = qsub.s
+  JOIN cb ON cb.s = qsub.s
+)
+SELECT c.vec_id, round(sum(t.qdist), 6) AS adc_dist
+FROM codes c
+JOIN qtab t ON t.list_id = c.list_id AND t.s = c.s AND t.code = c.code
+GROUP BY c.vec_id ORDER BY adc_dist, c.vec_id LIMIT 10
+""".replace("{rdist_e}", _ivf_sql_res_dist("esub")).replace(
+    "{rdist_q}", _ivf_sql_res_dist("qsub")
+).replace("{fdist}", _ivf_sql_parts()[2])
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "log_parse_fields": q_log_parse_fields,
     "log_parse_errors": q_log_parse_errors,
@@ -3184,6 +3305,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_codes": q_pq_codes,
     "pq_ann_topk": q_pq_ann_topk,
     "curate_corpus_v4": q_curate_corpus_v4,
+    "ivf_lists": q_ivf_lists,
+    "ivfpq_topk": q_ivfpq_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -3268,4 +3391,6 @@ ORACLES: dict[str, str] = {
     "pq_codes": SQL_PQ_CODES,
     "pq_ann_topk": SQL_PQ_ANN_TOPK,
     "curate_corpus_v4": SQL_CURATE_CORPUS_V4,
+    "ivf_lists": SQL_IVF_LISTS,
+    "ivfpq_topk": SQL_IVFPQ_TOPK,
 }

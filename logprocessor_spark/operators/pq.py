@@ -141,3 +141,162 @@ def pq_adc_topk(
         .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
         .limit(k_out)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse inverted lists + residual product quantization — the
+# standard composite for 10^12-vector ANN (FAISS IVFADC; Jégou et al. 2011
+# §V). The coarse quantizer partitions the corpus into KC inverted lists
+# (at scale: the table's physical partitioning — probes prune partitions);
+# PQ encodes the RESIDUAL v - coarse[c], which carries far less energy
+# than v, so the same code budget quantizes much finer.
+
+IVF_KC = 8       # coarse centroids (inverted lists)
+IVF_NPROBE = 2   # lists probed per query
+
+# coarse[c][d] = ((c*131 + d*17 + 7) % 2001)/1000 - 1
+_CO_A, _CO_B, _CO_C = 131, 17, 7
+
+
+def _coarse_val(c: int, d: int) -> float:
+    return ((c * _CO_A + d * _CO_B + _CO_C) % _CB_MOD) / 1000.0 - 1.0
+
+
+def coarse_codebook(spark: SparkSession, kc: int = IVF_KC, dim: int = PQ_M * PQ_DS) -> DataFrame:
+    """(c, g0..g{dim-1}) full-width coarse centroids."""
+    rows = [tuple([c] + [_coarse_val(c, d) for d in range(dim)]) for c in range(kc)]
+    return spark.createDataFrame(rows, ["c"] + [f"g{d}" for d in range(dim)])
+
+
+def coarse_sub_codebook(
+    spark: SparkSession, kc: int = IVF_KC, m: int = PQ_M, ds: int = PQ_DS
+) -> DataFrame:
+    """(c, s, h0..h{ds-1}) — the same centroids split per subspace, for
+    residual encoding joins keyed on (list, subspace)."""
+    rows = [
+        tuple([c, s] + [_coarse_val(c, s * ds + d) for d in range(ds)])
+        for c in range(kc)
+        for s in range(m)
+    ]
+    return spark.createDataFrame(rows, ["c", "s"] + [f"h{d}" for d in range(ds)])
+
+
+def _full_dist(dim: int):
+    """64-term left-associated ||v - g||^2 — a single deterministic
+    expression (no groupBy sum), so the coarse argmin is bit-exact and
+    tie-free across engines."""
+    return reduce(
+        add,
+        [
+            (F.get(F.col("embedding"), d).cast("double") - F.col(f"g{d}"))
+            * (F.get(F.col("embedding"), d).cast("double") - F.col(f"g{d}"))
+            for d in range(dim)
+        ],
+    )
+
+
+def _residual_sub_dist(ds: int):
+    """((v[s*ds+d] - h_d) - c_d)^2 summed left-associated: squared L2 of
+    the RESIDUAL subvector to a PQ centroid."""
+    def term(d):
+        r = (
+            F.get(F.col("embedding"), F.col("s") * ds + d).cast("double")
+            - F.col(f"h{d}")
+        )
+        return (r - F.col(f"c{d}")) * (r - F.col(f"c{d}"))
+
+    return reduce(add, [term(d) for d in range(ds)])
+
+
+def ivf_assign(
+    emb: DataFrame, coarse: DataFrame, dim: int = PQ_M * PQ_DS, id_col: str = "vec_id"
+) -> DataFrame:
+    """(vec_id, list_id): nearest coarse centroid — broadcast join against
+    KC rows, map-side-combinable argmin, ties to the lowest list id."""
+    scored = emb.select(F.col(id_col).alias("vec_id"), "embedding").crossJoin(
+        F.broadcast(coarse)
+    ).select("vec_id", _full_dist(dim).alias("dist"), "c")
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "c")).alias("w"))
+        .select("vec_id", F.col("w.c").alias("list_id"))
+    )
+
+
+def ivfpq_encode(
+    emb: DataFrame,
+    spark: SparkSession | None = None,
+    m: int = PQ_M,
+    ds: int = PQ_DS,
+    kc: int = IVF_KC,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, list_id, s, code): residual PQ codes per inverted list."""
+    spark = spark or emb.sparkSession
+    assign = ivf_assign(emb, coarse_codebook(spark, kc), id_col=id_col)
+    sub = (
+        emb.select(F.col(id_col).alias("vec_id"), "embedding")
+        .join(assign, "vec_id")
+        .select(
+            "vec_id",
+            "embedding",
+            "list_id",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+        )
+    )
+    csub = coarse_sub_codebook(spark, kc, m, ds).withColumnRenamed("c", "list_id")
+    scored = (
+        sub.join(F.broadcast(csub), ["list_id", "s"])
+        .join(F.broadcast(formula_codebook(spark, m, PQ_K, ds)), "s")
+        .select("vec_id", "list_id", "s", _residual_sub_dist(ds).alias("dist"), "k")
+    )
+    return (
+        scored.groupBy("vec_id", "list_id", "s")
+        .agg(F.min(F.struct("dist", "k")).alias("w"))
+        .select("vec_id", "list_id", "s", F.col("w.k").alias("code"))
+    )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k_out: int = 10,
+    nprobe: int = IVF_NPROBE,
+    m: int = PQ_M,
+    ds: int = PQ_DS,
+    kc: int = IVF_KC,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ search: probe the ``nprobe`` nearest inverted lists, rank
+    their members by residual-ADC. At scale the codes table is partitioned
+    by list_id, so the probe filter prunes partitions and only the probed
+    lists' codes are ever scanned; per candidate the cost is M lookups.
+
+    All distances flow through the same deterministic fold expressions as
+    the encode; the final ADC sum rounds to 6 (cosine rule), ties on
+    vec_id."""
+    spark = emb.sparkSession
+    codes = ivfpq_encode(emb, spark, m, ds, kc, id_col)
+    q = emb.where(F.col(id_col) == query_vec_id).select("embedding")
+    probes = (
+        q.crossJoin(F.broadcast(coarse_codebook(spark, kc)))
+        .select(_full_dist(m * ds).alias("dist"), "c")
+        .orderBy("dist", "c")
+        .limit(nprobe)
+        .select(F.col("c").alias("list_id"))
+    )
+    csub = coarse_sub_codebook(spark, kc, m, ds).withColumnRenamed("c", "list_id")
+    qtab = (
+        q.crossJoin(F.broadcast(probes))
+        .select("embedding", "list_id", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"))
+        .join(F.broadcast(csub), ["list_id", "s"])
+        .join(F.broadcast(formula_codebook(spark, m, PQ_K, ds)), "s")
+        .select("list_id", "s", F.col("k").alias("code"), _residual_sub_dist(ds).alias("qd"))
+    )
+    return (
+        codes.join(F.broadcast(qtab), ["list_id", "s", "code"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("qd"), 6).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(k_out)
+    )

@@ -411,3 +411,98 @@ def test_pq_adc_topk_matches_numpy_and_is_sane(spark):
     # sanity: the query vector itself is among the nearest by ADC (its
     # distance is pure quantization error)
     assert 7 in {v for v, _ in got}
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ
+
+
+def _np_coarse():
+    import numpy as np
+
+    from logprocessor_spark.operators.pq import IVF_KC, PQ_DS, PQ_M, _coarse_val
+
+    dim = PQ_M * PQ_DS
+    return np.array([[_coarse_val(c, d) for d in range(dim)] for c in range(IVF_KC)])
+
+
+def test_ivf_assign_matches_numpy(spark):
+    import numpy as np
+
+    from logprocessor_spark.operators.pq import coarse_codebook, ivf_assign
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(60)
+    got = {
+        r["vec_id"]: r["list_id"]
+        for r in ivf_assign(emb, coarse_codebook(spark)).collect()
+    }
+    co = _np_coarse()
+    for r in emb.collect():
+        v = np.asarray(r["embedding"], np.float64)
+        want = int(((co - v) ** 2).sum(axis=1).argmin())
+        assert got[r["vec_id"]] == want
+
+
+def test_ivfpq_topk_matches_numpy(spark):
+    import numpy as np
+
+    from logprocessor_spark.operators.pq import (
+        IVF_NPROBE,
+        PQ_DS,
+        PQ_K,
+        PQ_M,
+        _CB_A,
+        _CB_B,
+        _CB_C,
+        _CB_D,
+        _CB_MOD,
+        ivfpq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = [(r["vec_id"], r["adc_dist"]) for r in ivfpq_topk(emb, 7).collect()]
+
+    co = _np_coarse()
+    cb = np.array(
+        [
+            [
+                [
+                    ((s * _CB_A + k * _CB_B + d * _CB_C + _CB_D) % _CB_MOD) / 1000.0
+                    - 1.0
+                    for d in range(PQ_DS)
+                ]
+                for k in range(PQ_K)
+            ]
+            for s in range(PQ_M)
+        ]
+    )
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], np.float64) for r in rows}
+
+    def assign(v):
+        return int(((co - v) ** 2).sum(axis=1).argmin())
+
+    def codes_of(v, lid):
+        res = v - co[lid]
+        return [
+            int(((cb[s] - res[s * PQ_DS : (s + 1) * PQ_DS]) ** 2).sum(axis=1).argmin())
+            for s in range(PQ_M)
+        ]
+
+    q = vecs[7]
+    probes = list(np.argsort(((co - q) ** 2).sum(axis=1), kind="stable")[:IVF_NPROBE])
+    scores = {}
+    for vid, v in vecs.items():
+        lid = assign(v)
+        if lid not in probes:
+            continue
+        qres = q - co[lid]
+        qtab = [
+            ((cb[s] - qres[s * PQ_DS : (s + 1) * PQ_DS]) ** 2).sum(axis=1)
+            for s in range(PQ_M)
+        ]
+        adc = sum(qtab[s][c] for s, c in enumerate(codes_of(v, lid)))
+        scores[vid] = round(float(adc), 6)
+    want = sorted(scores.items(), key=lambda x: (x[1], x[0]))[:10]
+    assert got == want
+    assert 7 in {v for v, _ in got}  # query's own list is always probed

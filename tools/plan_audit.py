@@ -377,6 +377,17 @@ def main() -> None:
         "LeftAnti" in p and "BroadcastHashJoin" in p and "InMemoryTableScan" in p,
     )
 
+    # IVF-PQ: probe filter reaches the codes via the broadcast qtab join;
+    # the argmin + ADC groupBys are the only hash exchanges
+    p = plan_of(harness.q_ivfpq_topk(spark, sf_dir))
+    check(
+        "ivfpq_topk: broadcast codebooks/qtab, <=3 hash exchanges, top-k",
+        p.count("BroadcastHashJoin") >= 3 and "TakeOrderedAndProject" in p
+        and p.count("Exchange hashpartitioning") <= 3,
+        f"bhj={p.count('BroadcastHashJoin')} "
+        f"hash_exchanges={p.count('Exchange hashpartitioning')}",
+    )
+
     # sweep: NO registered query may compile to an unguarded cartesian /
     # BroadcastNestedLoopJoin plan. Two deliberate exceptions:
     #  - near_dup_embeddings: the all-pairs verification twin, count-guarded
@@ -388,7 +399,13 @@ def main() -> None:
     #  - tfidf_topk: crossJoin against a BROADCAST SINGLE-ROW scalar (the
     #    corpus doc count) — a 1-row BNLJ is a map-side literal attach,
     #    not a candidate-pair explosion.
-    allowed_bnlj = {"near_dup_embeddings", "knn_join", "tfidf_topk"}
+    #  - ivf_lists / ivfpq_topk: crossJoin against the BROADCAST KC-row
+    #    coarse codebook (8 rows) / nprobe-row probe list — fixed-size
+    #    dimension attach, not a candidate-pair explosion.
+    allowed_bnlj = {
+        "near_dup_embeddings", "knn_join", "tfidf_topk",
+        "ivf_lists", "ivfpq_topk",
+    }
     offenders = []
     for qname, qfn in H.QUERIES.items():
         try:
