@@ -3230,6 +3230,27 @@ GROUP BY c.vec_id ORDER BY adc_dist, c.vec_id LIMIT 10
 ).replace("{fdist}", _ivf_sql_parts()[2])
 
 
+def q_ivfpq_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ against the PREBUILT codes index (materialized once per
+    sf_dir, cached in /tmp): the probe resolves to literal list ids, so
+    the scan partition-prunes to nprobe/KC of the index. Same oracle as
+    ``ivfpq_topk`` — results are expression-identical, which makes the
+    hash gate double as the index-path equivalence proof."""
+    import hashlib
+    import os
+
+    from .operators.pq import ivfpq_topk_prebuilt, materialize_ivfpq_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/lp_ivfpq_codes_{tag}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        materialize_ivfpq_index(emb, path)
+    return ivfpq_topk_prebuilt(
+        spark, path, emb.where(F.col("vec_id") == 7), k_out=10
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "log_parse_fields": q_log_parse_fields,
     "log_parse_errors": q_log_parse_errors,
@@ -3307,6 +3328,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_corpus_v4": q_curate_corpus_v4,
     "ivf_lists": q_ivf_lists,
     "ivfpq_topk": q_ivfpq_topk,
+    "ivfpq_topk_pruned": q_ivfpq_topk_pruned,
 }
 
 ORACLES: dict[str, str] = {
@@ -3393,4 +3415,5 @@ ORACLES: dict[str, str] = {
     "curate_corpus_v4": SQL_CURATE_CORPUS_V4,
     "ivf_lists": SQL_IVF_LISTS,
     "ivfpq_topk": SQL_IVFPQ_TOPK,
+    "ivfpq_topk_pruned": SQL_IVFPQ_TOPK,
 }

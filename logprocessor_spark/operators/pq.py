@@ -300,3 +300,77 @@ def ivfpq_topk(
         .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
         .limit(k_out)
     )
+
+
+def materialize_ivfpq_index(
+    emb: DataFrame,
+    path: str,
+    m: int = PQ_M,
+    ds: int = PQ_DS,
+    kc: int = IVF_KC,
+    id_col: str = "vec_id",
+) -> None:
+    """Write the residual-PQ codes partitioned by inverted list — the
+    index-build step. The float corpus is read ONCE here; afterwards every
+    query is a partition-pruned scan of nprobe/KC of a codes table that is
+    ~32× smaller than the embeddings (the IVFADC deployment shape).
+    ``repartition(list_id)`` keeps file count = #lists, not #lists×#tasks."""
+    codes = ivfpq_encode(emb, emb.sparkSession, m, ds, kc, id_col)
+    (
+        codes.repartition(F.col("list_id"))
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(path)
+    )
+
+
+def ivfpq_topk_prebuilt(
+    spark: SparkSession,
+    path: str,
+    query_df: DataFrame,
+    k_out: int = 10,
+    nprobe: int = IVF_NPROBE,
+    m: int = PQ_M,
+    ds: int = PQ_DS,
+    kc: int = IVF_KC,
+) -> DataFrame:
+    """Answer an IVF-PQ query from a prebuilt codes index.
+
+    The nprobe list ids are resolved first (KC-row broadcast argmin — the
+    collect is nprobe ints, the same scalar-sized driver hop as the
+    similarity thresholds) so the ``list_id IN (...)`` predicate prunes
+    index partitions AT THE SCAN — only the probed lists' files are read
+    (plan-asserted in tests). Everything else matches ``ivfpq_topk``
+    expression-for-expression, so results are identical."""
+    q = query_df.select("embedding")
+    probe_rows = (
+        q.crossJoin(F.broadcast(coarse_codebook(spark, kc)))
+        .select(_full_dist(m * ds).alias("dist"), "c")
+        .orderBy("dist", "c")
+        .limit(nprobe)
+        .collect()
+    )
+    probed = [int(r["c"]) for r in probe_rows]
+    codes = spark.read.parquet(path).where(F.col("list_id").isin(probed))
+    csub = coarse_sub_codebook(spark, kc, m, ds).withColumnRenamed("c", "list_id")
+    qtab = (
+        q.crossJoin(
+            F.broadcast(
+                spark.createDataFrame([(c,) for c in probed], ["list_id"])
+            )
+        )
+        .select(
+            "embedding", "list_id",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+        )
+        .join(F.broadcast(csub), ["list_id", "s"])
+        .join(F.broadcast(formula_codebook(spark, m, PQ_K, ds)), "s")
+        .select("list_id", "s", F.col("k").alias("code"), _residual_sub_dist(ds).alias("qd"))
+    )
+    return (
+        codes.join(F.broadcast(qtab), ["list_id", "s", "code"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("qd"), 6).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(k_out)
+    )

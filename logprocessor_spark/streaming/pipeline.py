@@ -288,3 +288,32 @@ def stream_curate(
         .withColumn("pii", pii_counts(t))
         .withColumn(text_col, redact_pii(t))
     )
+
+
+def stream_dedup_canonical_url(
+    pages_stream: DataFrame,
+    url_col: str = "url",
+    watermark_col: str = "warc_ts",
+    watermark: str = "2 days",
+    blocklist: DataFrame | None = None,
+) -> DataFrame:
+    """Streaming twin of the crawl-side URL chain (curate_corpus_v4's
+    first two stages): optional domain-blocklist gate, then canonical-URL
+    dedup within the watermark horizon.
+
+    The canonicalizer is the same pure column expression as batch
+    (operators/urls.canonical_url) — stateless, fuses into the micro-batch
+    scan. Dedup state is one (url_canon, firstSeen) pair per canonical
+    key, evicted once the watermark passes — bounded by the crawl window,
+    not crawl history. First-within-horizon wins (streaming semantics);
+    the batch keep-LATEST reconcile stays the sink upsert's job, exactly
+    as ``stream_dedup`` defers to the reconcile for message ids."""
+    from ..operators.urls import canonical_url, filter_blocked_hosts
+
+    s = pages_stream
+    if blocklist is not None:
+        s = filter_blocked_hosts(s, blocklist, url_col=url_col)
+    s = s.withColumn("url_canon", canonical_url(F.col(url_col)))
+    return s.withWatermark(watermark_col, watermark).dropDuplicatesWithinWatermark(
+        ["url_canon"]
+    )

@@ -506,3 +506,22 @@ def test_ivfpq_topk_matches_numpy(spark):
     want = sorted(scores.items(), key=lambda x: (x[1], x[0]))[:10]
     assert got == want
     assert 7 in {v for v, _ in got}  # query's own list is always probed
+
+
+def test_ivfpq_prebuilt_equals_inmemory_and_prunes(spark, tmp_path):
+    from logprocessor_spark.operators.pq import (
+        ivfpq_topk,
+        ivfpq_topk_prebuilt,
+        materialize_ivfpq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivfpq_idx")
+    materialize_ivfpq_index(emb, path)
+    qdf = emb.where(F.col("vec_id") == 7)
+    pre = ivfpq_topk_prebuilt(spark, path, qdf)
+    mem = ivfpq_topk(emb, 7)
+    assert [tuple(r) for r in pre.collect()] == [tuple(r) for r in mem.collect()]
+    # the probe predicate must prune index partitions at the scan
+    plan = pre._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan.split("PartitionFilters", 1)[1][:200]

@@ -256,3 +256,40 @@ def test_stream_dedup_against_index_accretes(spark, tmp_path):
     got2 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     # 2000 duplicated 1001, which was accreted into the index after batch 1
     assert got2 == {1001, 2001}
+
+
+def test_stream_dedup_canonical_url(spark, tmp_path):
+    """Streaming crawl-side gate: messy URL spellings collapse to one row
+    per canonical key; blocked hosts never emit."""
+    from pyspark.sql import functions as F
+
+    from logprocessor_spark.streaming.pipeline import stream_dedup_canonical_url
+
+    base = str(tmp_path)
+    import datetime as dt
+
+    t0 = dt.datetime(2020, 1, 1)
+    rows = [
+        ("https://www.a.com/p?utm_source=x", t0, 1),
+        ("https://A.COM/p/", t0, 2),           # same canonical as above
+        ("https://a.com:443/p#f", t0, 3),      # same canonical
+        ("https://b.com/q", t0, 4),
+        ("https://WWW.BAD.COM/x", t0, 5),      # blocked (spelled messy)
+        ("https://bad.com/y", t0, 6),          # blocked
+    ]
+    pages = spark.createDataFrame(rows, ["url", "warc_ts", "doc_id"])
+    pages.write.parquet(f"{base}/pages")
+    src = spark.readStream.schema(pages.schema).parquet(f"{base}/pages")
+    bl = spark.createDataFrame([("bad.com",)], ["host"])
+    out = stream_dedup_canonical_url(src, blocklist=bl)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("urldedup_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT url_canon, count(*) c FROM urldedup_t GROUP BY 1").collect()
+    canon = {r["url_canon"]: r["c"] for r in got}
+    assert canon == {"https://a.com/p": 1, "https://b.com/q": 1}

@@ -404,7 +404,7 @@ def main() -> None:
     #    dimension attach, not a candidate-pair explosion.
     allowed_bnlj = {
         "near_dup_embeddings", "knn_join", "tfidf_topk",
-        "ivf_lists", "ivfpq_topk",
+        "ivf_lists", "ivfpq_topk", "ivfpq_topk_pruned",
     }
     offenders = []
     for qname, qfn in H.QUERIES.items():
