@@ -3172,10 +3172,10 @@ def q_ivf_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted list = nearest formula coarse centroid, computed as one
     64-term deterministic fold — integer output, exact gate. At scale
     list_id is the codes table's physical partitioning key."""
-    from .operators.pq import coarse_codebook, ivf_assign
+    from .operators.pq import ivf_assign_arrow
 
     emb = _t(spark, sf_dir, "embeddings")
-    return ivf_assign(emb, coarse_codebook(spark))
+    return ivf_assign_arrow(emb)
 
 
 SQL_IVF_LISTS = _ivf_sql_lists_cte() + """

@@ -233,7 +233,7 @@ def ivfpq_encode(
 ) -> DataFrame:
     """(vec_id, list_id, s, code): residual PQ codes per inverted list."""
     spark = spark or emb.sparkSession
-    assign = ivf_assign(emb, coarse_codebook(spark, kc), id_col=id_col)
+    assign = ivf_assign_arrow(emb, kc, m * ds, id_col=id_col)
     sub = (
         emb.select(F.col(id_col).alias("vec_id"), "embedding")
         .join(assign, "vec_id")
@@ -373,4 +373,45 @@ def ivfpq_topk_prebuilt(
         .agg(F.round(F.sum("qd"), 6).alias("adc_dist"))
         .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
         .limit(k_out)
+    )
+
+
+def ivf_assign_arrow(
+    emb: DataFrame, kc: int = IVF_KC, dim: int = PQ_M * PQ_DS, id_col: str = "vec_id"
+) -> DataFrame:
+    """(vec_id, list_id) as an Arrow-batched numpy kernel — scan-side
+    (no shuffle, no join) where ``ivf_assign`` pays a broadcast join plus
+    a groupBy shuffle. A pure-expression form was tried first and
+    overflowed janino's 64 KB codegen limit (8 centroids × 64 dims ≈ 1k
+    expression nodes → interpreted fallback, 4× slower than the join);
+    the kernel accumulates (v[d]-g[d])² in the SAME ascending-d left fold
+    as ``_full_dist``, one numpy op per dim vectorized across (rows ×
+    centroids), so the distances are bit-identical to the expression/join
+    forms (asserted in tests) and np.argmin's first-minimum rule matches
+    the (dist, c) struct-min tie break."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType
+
+    G = np.array(
+        [[_coarse_val(c, d) for d in range(dim)] for c in range(kc)], dtype=np.float64
+    )
+
+    def _assign(s: pd.Series) -> pd.Series:
+        # null embeddings -> null list_id (never a task failure)
+        mask = s.notna().to_numpy()
+        out = np.full(len(s), None, dtype=object)
+        if mask.any():
+            V = np.array([np.asarray(v, dtype=np.float64) for v in s[mask]])
+            acc = np.zeros((len(V), kc), dtype=np.float64)
+            for d in range(dim):  # left fold: bit-equal to _full_dist
+                diff = V[:, d : d + 1] - G[:, d]
+                acc += diff * diff
+            out[mask] = [int(x) for x in acc.argmin(axis=1)]
+        return pd.Series(out, index=s.index, dtype=object)
+
+    _assign.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    fn = F.pandas_udf(_assign, IntegerType())
+    return emb.select(
+        F.col(id_col).alias("vec_id"), fn(F.col("embedding")).alias("list_id")
     )

@@ -66,13 +66,17 @@ def canonical_url(url: Column) -> Column:
         ),
         "&",
     )
-    return F.concat(
+    canon = F.concat(
         scheme,
         F.lit("://"),
         host,
         path,
         F.when(kept == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept)),
     )
+    # malformed input (no scheme://host) passes through unchanged — crawl
+    # data always has junk rows, and silently rewriting them to '://...'
+    # would merge every junk URL into one dedup key
+    return F.when((scheme == "") | (host == ""), url).otherwise(canon)
 
 
 def dedup_by_canonical_url(

@@ -47,6 +47,10 @@ CANON_CASES = [
     ("https://example.com/a?fbclid=Z&gclid=Y&ref=t&a=1", "https://example.com/a?a=1"),
     ("https://example.com/a?refresh=1", "https://example.com/a?refresh=1"),  # not 'ref'
     ("https://www.example.com/a?b=2&a=1#f", "https://example.com/a?a=1&b=2"),
+    # malformed rows pass through untouched (never merged into one key)
+    ("not a url", "not a url"),
+    ("example.com/no-scheme", "example.com/no-scheme"),
+    ("://empty", "://empty"),
 ]
 
 
@@ -525,3 +529,19 @@ def test_ivfpq_prebuilt_equals_inmemory_and_prunes(spark, tmp_path):
     # the probe predicate must prune index partitions at the scan
     plan = pre._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "list_id" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_ivf_assign_arrow_equals_join_form(spark):
+    from logprocessor_spark.operators.pq import (
+        coarse_codebook,
+        ivf_assign,
+        ivf_assign_arrow,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = {r["vec_id"]: r["list_id"] for r in ivf_assign(emb, coarse_codebook(spark)).collect()}
+    b = {r["vec_id"]: r["list_id"] for r in ivf_assign_arrow(emb).collect()}
+    assert a == b
+    # the arrow form is a pure scan-side map: no exchange
+    plan = ivf_assign_arrow(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
