@@ -230,8 +230,16 @@ def ivfpq_encode(
     ds: int = PQ_DS,
     kc: int = IVF_KC,
     id_col: str = "vec_id",
+    arrow: bool = True,
 ) -> DataFrame:
-    """(vec_id, list_id, s, code): residual PQ codes per inverted list."""
+    """(vec_id, list_id, s, code): residual PQ codes per inverted list.
+
+    ``arrow=True`` (default) fuses assignment + encoding into one
+    zero-shuffle Arrow kernel (``ivfpq_codes_arrow``); the expression
+    form below stays as the parity reference and the trained-codebook
+    general shape."""
+    if arrow:
+        return ivfpq_codes_arrow(emb, kc, m, ds, id_col)
     spark = spark or emb.sparkSession
     assign = ivf_assign_arrow(emb, kc, m * ds, id_col=id_col)
     sub = (
@@ -414,4 +422,88 @@ def ivf_assign_arrow(
     fn = F.pandas_udf(_assign, IntegerType())
     return emb.select(
         F.col(id_col).alias("vec_id"), fn(F.col("embedding")).alias("list_id")
+    )
+
+
+def ivfpq_codes_arrow(
+    emb: DataFrame,
+    kc: int = IVF_KC,
+    m: int = PQ_M,
+    ds: int = PQ_DS,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, list_id, s, code) with assignment AND residual encoding
+    fused into one Arrow kernel — the whole encode becomes a zero-shuffle
+    scan (the join form pays a vector re-join plus an argmin groupBy).
+    Distances accumulate in the same ascending-d left folds as
+    ``_full_dist`` / ``_residual_sub_dist``, so every code is
+    bit-identical to the join form (asserted in tests). Null embeddings
+    yield null codes rows-for-row, never task failures."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    dim = m * ds
+    G = np.array(
+        [[_coarse_val(c, d) for d in range(dim)] for c in range(kc)], dtype=np.float64
+    )
+    CB = np.array(
+        [
+            [
+                [
+                    ((s * _CB_A + k * _CB_B + d * _CB_C + _CB_D) % _CB_MOD) / 1000.0
+                    - 1.0
+                    for d in range(ds)
+                ]
+                for k in range(PQ_K)
+            ]
+            for s in range(m)
+        ]
+    )
+
+    schema = StructType(
+        [
+            StructField("list_id", IntegerType()),
+            StructField("codes", ArrayType(IntegerType())),
+        ]
+    )
+
+    def _k(s_: pd.Series) -> pd.DataFrame:
+        mask = s_.notna().to_numpy()
+        lid = np.full(len(s_), None, dtype=object)
+        codes = np.full(len(s_), None, dtype=object)
+        if mask.any():
+            V = np.array([np.asarray(v, dtype=np.float64) for v in s_[mask]])
+            acc = np.zeros((len(V), kc), dtype=np.float64)
+            for d in range(dim):  # left fold: bit-equal to _full_dist
+                diff = V[:, d : d + 1] - G[:, d]
+                acc += diff * diff
+            L = acc.argmin(axis=1)
+            R = V - G[L]
+            C = np.empty((len(V), m), dtype=np.int32)
+            for s in range(m):
+                a2 = np.zeros((len(V), CB.shape[1]), dtype=np.float64)
+                for d in range(ds):  # left fold: bit-equal to _residual_sub_dist
+                    diff = R[:, s * ds + d : s * ds + d + 1] - CB[s][:, d]
+                    a2 += diff * diff
+                C[:, s] = a2.argmin(axis=1)
+            for j, i in enumerate(np.nonzero(mask)[0]):
+                lid[i] = int(L[j])
+                codes[i] = [int(x) for x in C[j]]
+        return pd.DataFrame({"list_id": lid, "codes": codes}, index=s_.index)
+
+    _k.__annotations__ = {"s_": pd.Series, "return": pd.DataFrame}
+    fn = F.pandas_udf(_k, schema)
+    return (
+        emb.select(F.col(id_col).alias("vec_id"), fn(F.col("embedding")).alias("r"))
+        .select(
+            "vec_id",
+            F.col("r.list_id").alias("list_id"),
+            F.posexplode(F.col("r.codes")).alias("s", "code"),
+        )
     )

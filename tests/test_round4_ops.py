@@ -545,3 +545,15 @@ def test_ivf_assign_arrow_equals_join_form(spark):
     # the arrow form is a pure scan-side map: no exchange
     plan = ivf_assign_arrow(emb)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_ivfpq_fused_arrow_encode_equals_join_form(spark):
+    from logprocessor_spark.operators.pq import ivfpq_encode
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted(tuple(r) for r in ivfpq_encode(emb, arrow=True).collect())
+    b = sorted(tuple(r) for r in ivfpq_encode(emb, arrow=False).collect())
+    assert a == b and a
+    # fused form: the encode itself introduces no shuffle
+    plan = ivfpq_encode(emb, arrow=True)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
