@@ -65,6 +65,7 @@ HEADLINE = [
     "curate_corpus_v4",     # crawl-side chain: blocklist -> url dedup -> para dedup -> classifier (r4)
     "pq_ann_topk",          # product-quantization ADC top-k (r4)
     "ivfpq_topk",           # IVF + residual-PQ probe search (r4)
+    "cms_heavy_hitters",    # count-min sketch heavy hitters (r4)
 ]
 
 

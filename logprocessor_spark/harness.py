@@ -3026,6 +3026,44 @@ ORDER BY r.doc_id
 """
 
 
+CMS_THRESHOLD = 100
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (operators/sketch.py): d×w counter
+    grid + min-of-rows estimates, all on the portable md5 hash family —
+    the oracle rebuilds every counter and every estimate bit-for-bit, a
+    hash-exact gate over a probabilistic structure."""
+    from .operators.sketch import cms_heavy_hitters
+
+    d = _t(spark, sf_dir, "documents")
+    return cms_heavy_hitters(d, threshold=CMS_THRESHOLD)
+
+
+SQL_CMS_HEAVY_HITTERS = f"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token FROM documents
+), tk AS (
+  SELECT token FROM tok WHERE token <> ''
+), rows_ AS (SELECT unnest(range({4})) AS row),
+cells AS (
+  SELECT rows_.row AS row,
+         ('0x' || substr(md5(rows_.row || ':' || tk.token), 1, 15))::BIGINT % 512 AS bucket
+  FROM tk, rows_
+), sk AS (
+  SELECT row, bucket, CAST(count(*) AS BIGINT) AS cnt FROM cells GROUP BY 1, 2
+), keys AS (SELECT DISTINCT token FROM tk),
+probes AS (
+  SELECT keys.token, rows_.row AS row,
+         ('0x' || substr(md5(rows_.row || ':' || keys.token), 1, 15))::BIGINT % 512 AS bucket
+  FROM keys, rows_
+), est AS (
+  SELECT token, min(cnt) AS est FROM probes JOIN sk USING (row, bucket) GROUP BY token
+)
+SELECT token, est FROM est WHERE est >= {CMS_THRESHOLD} ORDER BY est DESC, token
+"""
+
+
 def _pq_sql_cb() -> str:
     from .operators.pq import _CB_A, _CB_B, _CB_C, _CB_D, _CB_MOD, PQ_DS, PQ_K, PQ_M
 
@@ -3329,6 +3367,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_lists": q_ivf_lists,
     "ivfpq_topk": q_ivfpq_topk,
     "ivfpq_topk_pruned": q_ivfpq_topk_pruned,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
 }
 
 ORACLES: dict[str, str] = {
@@ -3416,4 +3455,5 @@ ORACLES: dict[str, str] = {
     "ivf_lists": SQL_IVF_LISTS,
     "ivfpq_topk": SQL_IVFPQ_TOPK,
     "ivfpq_topk_pruned": SQL_IVFPQ_TOPK,
+    "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
 }

@@ -1,0 +1,111 @@
+"""Count-min sketch: mergeable frequency estimation + heavy hitters.
+
+At 10^12 documents the exact token-frequency table (``vocab_topk``) is a
+full groupBy over every token instance; a count-min sketch (Cormode &
+Muthukrishnan 2005) answers "which tokens exceed THETA occurrences, and
+roughly how many" from a fixed d×w counter grid that merges by cell-wise
+addition — the streaming/partitioned-corpus shape: each partition
+sketches locally, sketches add, queries never touch raw tokens again.
+The one-sided guarantee (est ≥ true; est ≤ true + εN with prob 1-δ)
+makes it a SUPERSET filter for heavy hitters — candidates it returns are
+verified cheaply, candidates it misses cannot exist.
+
+Deterministic by construction: the d hash rows use the portable 60-bit
+md5 prefix with an integer row-salt (same hash family as the
+oracle-checkable SimHash / classifier), so a SQL engine reproduces every
+counter and every estimate bit-for-bit — the whole sketch is
+hash-gate-checkable, unusual for a probabilistic structure.
+
+Scale shape: the grid build is explode → posexplode(d rows) → one
+groupBy of (row, bucket) — map-side combinable into ≤ d·w cells per
+task; the grid (d·w rows, ~10 KB here) broadcasts for estimation, so
+point queries are scan-side lookups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+CMS_DEPTH = 4      # d independent hash rows
+CMS_WIDTH = 512    # w buckets per row
+
+
+def _cms_bucket(token: Column, row: int, width: int) -> Column:
+    """Portable bucket: md5('row:' || token) first 15 hex chars mod w —
+    DuckDB twin: ``('0x' || substr(md5(r || ':' || tok), 1, 15))::BIGINT % w``."""
+    salted = F.concat(F.lit(f"{row}:"), token)
+    h = F.conv(F.substring(F.md5(F.encode(salted, "UTF-8")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    return h % width
+
+
+def cms_build(
+    docs: DataFrame,
+    text_col: str = "text",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(row, bucket, cnt) counter grid over the corpus token stream.
+    Merging two corpora's sketches is a union + groupBy sum on the same
+    (row, bucket) key — the mergeability that makes this the partitioned
+    /streaming shape."""
+    tok = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("token")
+    ).where(F.col("token") != "")
+    cells = tok.select(
+        F.posexplode(
+            F.array(*[_cms_bucket(F.col("token"), r, width) for r in range(depth)])
+        ).alias("row", "bucket")
+    )
+    return cells.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str = "token",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(token, est): min over the d rows of the key's counter — the CMS
+    point estimate. The sketch is grid-sized, so it broadcasts; per key
+    the cost is d lookups."""
+    probes = keys.select(
+        F.col(key_col).alias("token"),
+        F.posexplode(
+            F.array(*[_cms_bucket(F.col(key_col), r, width) for r in range(depth)])
+        ).alias("row", "bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy("token")
+        .agg(F.min("cnt").alias("est"))
+    )
+
+
+def cms_heavy_hitters(
+    docs: DataFrame,
+    threshold: int,
+    text_col: str = "text",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(token, est) for every distinct token whose CMS estimate reaches
+    ``threshold``, heaviest first (ties lexicographic). est ≥ true count
+    always, so no true heavy hitter is ever missed; over-threshold
+    false positives are the documented CMS trade (verify exactly against
+    the corpus if exactness matters — ``vocab_topk`` is that pass)."""
+    sketch = cms_build(docs, text_col, depth, width)
+    keys = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("token")
+        )
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    est = cms_estimate(sketch, keys, "token", depth, width)
+    return est.where(F.col("est") >= threshold).orderBy(
+        F.desc("est"), F.asc("token")
+    )

@@ -557,3 +557,57 @@ def test_ivfpq_fused_arrow_encode_equals_join_form(spark):
     # fused form: the encode itself introduces no shuffle
     plan = ivfpq_encode(emb, arrow=True)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+
+
+def test_cms_overestimates_never_under(spark):
+    from logprocessor_spark.operators.sketch import cms_build, cms_estimate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
+    ).where(F.col("token") != "")
+    true = {r["token"]: r["c"] for r in toks.groupBy("token").agg(F.count(F.lit(1)).alias("c")).collect()}
+    sk = cms_build(docs)
+    est = {
+        r["token"]: r["est"]
+        for r in cms_estimate(sk, toks.distinct()).collect()
+    }
+    assert set(est) == set(true)
+    for t, c in true.items():
+        assert est[t] >= c, t  # the one-sided CMS guarantee
+
+
+def test_cms_heavy_hitters_superset_and_merge(spark):
+    from logprocessor_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+        cms_heavy_hitters,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    hh = {r["token"] for r in cms_heavy_hitters(docs, threshold=100).collect()}
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
+    ).where(F.col("token") != "")
+    true_hh = {
+        r["token"]
+        for r in toks.groupBy("token").agg(F.count(F.lit(1)).alias("c")).where(F.col("c") >= 100).collect()
+    }
+    assert true_hh <= hh  # no true heavy hitter missed
+
+    # mergeability: sketch(A) + sketch(B) == sketch(A ∪ B), cell for cell
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    merged = (
+        cms_build(a).unionByName(cms_build(b))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cms_build(docs)
+    assert sorted(tuple(r) for r in merged.collect()) == sorted(
+        tuple(r) for r in whole.collect()
+    )

@@ -388,6 +388,14 @@ def main() -> None:
         f"hash_exchanges={p.count('Exchange hashpartitioning')}",
     )
 
+    # count-min sketch: the grid groupBy partial-aggregates map-side and
+    # the grid broadcasts for estimation (point lookups, no wide join)
+    p = plan_of(harness.q_cms_heavy_hitters(spark, sf_dir))
+    check(
+        "cms_heavy_hitters: partial-agg grid, broadcast estimate join",
+        "partial_count" in p and "BroadcastHashJoin" in p,
+    )
+
     # sweep: NO registered query may compile to an unguarded cartesian /
     # BroadcastNestedLoopJoin plan. Two deliberate exceptions:
     #  - near_dup_embeddings: the all-pairs verification twin, count-guarded
