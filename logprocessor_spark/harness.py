@@ -3064,6 +3064,54 @@ SELECT token, est FROM est WHERE est >= {CMS_THRESHOLD} ORDER BY est DESC, token
 """
 
 
+_HLL_SQL_REG = """
+WITH h AS (
+  SELECT ('0x' || substr(md5(text), 1, 15))::BIGINT AS h FROM documents
+), r AS (
+  SELECT h % 64 AS b,
+         CASE WHEN h // 64 = 0 THEN 55 ELSE 55 - length(bin(h // 64)) END AS rho
+  FROM h
+), reg AS (SELECT b, CAST(max(rho) AS BIGINT) AS reg FROM r GROUP BY b)
+"""
+
+
+def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register table over distinct document texts
+    (operators/sketch.py): per-bucket max first-1-bit rank of the
+    portable 60-bit hash. Integer-exact gate (bit_length via bin(), no
+    float log2); merge = union + groupBy max."""
+    from .operators.sketch import hll_registers
+
+    d = _t(spark, sf_dir, "documents")
+    return hll_registers(d, F.col("text"))
+
+
+SQL_HLL_REGISTERS = _HLL_SQL_REG + """
+SELECT b, reg FROM reg
+"""
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-text estimate with the small-range linear-counting
+    correction — one row, rounded to 2 (the float sum's order noise)."""
+    from .operators.sketch import hll_estimate, hll_registers
+
+    d = _t(spark, sf_dir, "documents")
+    return hll_estimate(hll_registers(d, F.col("text")))
+
+
+SQL_HLL_DISTINCT = _HLL_SQL_REG + """
+, agg AS (
+  SELECT sum(pow(2.0, -reg)) AS zp, CAST(count(*) AS BIGINT) AS mp FROM reg
+)
+SELECT round(
+  CASE WHEN (0.709 * 4096.0 / (zp + (64 - mp))) <= 160.0 AND (64 - mp) > 0
+       THEN 64.0 * ln(64.0 / (64 - mp))
+       ELSE 0.709 * 4096.0 / (zp + (64 - mp)) END, 2) AS n_distinct_est
+FROM agg
+"""
+
+
 def _pq_sql_cb() -> str:
     from .operators.pq import _CB_A, _CB_B, _CB_C, _CB_D, _CB_MOD, PQ_DS, PQ_K, PQ_M
 
@@ -3368,6 +3416,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivfpq_topk": q_ivfpq_topk,
     "ivfpq_topk_pruned": q_ivfpq_topk_pruned,
     "cms_heavy_hitters": q_cms_heavy_hitters,
+    "hll_registers": q_hll_registers,
+    "hll_distinct": q_hll_distinct,
 }
 
 ORACLES: dict[str, str] = {
@@ -3456,4 +3506,6 @@ ORACLES: dict[str, str] = {
     "ivfpq_topk": SQL_IVFPQ_TOPK,
     "ivfpq_topk_pruned": SQL_IVFPQ_TOPK,
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
+    "hll_registers": SQL_HLL_REGISTERS,
+    "hll_distinct": SQL_HLL_DISTINCT,
 }

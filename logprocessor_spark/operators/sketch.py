@@ -109,3 +109,58 @@ def cms_heavy_hitters(
     return est.where(F.col("est") >= threshold).orderBy(
         F.desc("est"), F.asc("token")
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007): mergeable distinct-count sketch.
+
+HLL_M = 64                 # registers (p = 6)
+HLL_ALPHA = 0.709          # alpha_64
+_HLL_WBITS = 54            # 60-bit hash minus 6 bucket bits
+
+
+def hll_registers(
+    docs: DataFrame, key: Column, m: int = HLL_M
+) -> DataFrame:
+    """(b, reg): per-bucket max leading-rank over the portable 60-bit md5
+    hash — the HLL register table. Merging sketches is a union + groupBy
+    max, cell-for-cell, like the CMS grid. Integer-exact: the rank uses
+    bit_length via ``bin()`` string length (no float log2, whose rounding
+    misorders values just below powers of two), so a SQL engine rebuilds
+    every register bit-for-bit."""
+    h = F.conv(F.substring(F.md5(F.encode(key, "UTF-8")), 1, 15), 16, 10).cast("long")
+    b = h % m
+    # integer shift, NOT `/` (double division loses bits above 2^53)
+    p_bits = (m - 1).bit_length()
+    assert m == 1 << p_bits, "m must be a power of two"
+    w = F.shiftright(h, p_bits)
+    # rho = position of the first 1-bit in a fixed 54-bit window, 1-based;
+    # all-zero w -> the max rank (WBITS + 1)
+    rho = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        _HLL_WBITS + 1 - F.length(F.bin(w))
+    )
+    return (
+        docs.select(b.alias("b"), rho.alias("rho"))
+        .groupBy("b")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def hll_estimate(registers: DataFrame, m: int = HLL_M) -> DataFrame:
+    """One row (n_distinct_est): the HLL estimator with the standard
+    small-range linear-counting correction. Registers absent from the
+    table count as zero (their 2^-0 = 1 term is added analytically), so
+    the estimate works straight off the sparse groupBy output. Rounded to
+    2 decimals — the float sum's order noise is ~1 ulp."""
+    agg = registers.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("z_present"),
+        F.count(F.lit(1)).alias("m_present"),
+    )
+    z = F.col("z_present") + (F.lit(m) - F.col("m_present"))  # absent -> 2^0
+    zeros = F.lit(m) - F.col("m_present")
+    raw = F.lit(HLL_ALPHA) * F.lit(float(m * m)) / z
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(F.round(est, 2).alias("n_distinct_est"))

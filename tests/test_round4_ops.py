@@ -611,3 +611,48 @@ def test_cms_heavy_hitters_superset_and_merge(spark):
     assert sorted(tuple(r) for r in merged.collect()) == sorted(
         tuple(r) for r in whole.collect()
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+
+
+def test_hll_estimate_accuracy_and_merge(spark):
+    from logprocessor_spark.operators.sketch import hll_estimate, hll_registers
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = docs.select("text").distinct().count()
+    est = hll_estimate(hll_registers(docs, F.col("text"))).collect()[0][
+        "n_distinct_est"
+    ]
+    assert abs(est - exact) / exact < 0.25  # m=64 -> ~13% std error
+
+    # mergeability: registers(A) max registers(B) == registers(A ∪ B)
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    merged = (
+        hll_registers(a, F.col("text"))
+        .unionByName(hll_registers(b, F.col("text")))
+        .groupBy("b")
+        .agg(F.max("reg").alias("reg"))
+    )
+    whole = hll_registers(docs, F.col("text"))
+    assert sorted(tuple(r) for r in merged.collect()) == sorted(
+        tuple(r) for r in whole.collect()
+    )
+
+
+def test_hll_rank_matches_python_ref(spark):
+    import hashlib
+
+    from logprocessor_spark.operators.sketch import HLL_M, hll_registers
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    got = {r["b"]: r["reg"] for r in hll_registers(docs, F.col("text")).collect()}
+    regs = {}
+    for r in docs.select("text").collect():
+        h = int(hashlib.md5(r["text"].encode()).hexdigest()[:15], 16)
+        b, w = h % HLL_M, h >> 6
+        rho = 55 if w == 0 else 55 - w.bit_length()
+        regs[b] = max(regs.get(b, 0), rho)
+    assert got == regs
