@@ -4,6 +4,14 @@ compare row count, column names, and an order-insensitive canonical value
 hash. Usage::
 
     python tools/check_oracles.py [sf_dir] [query ...]
+
+Scale note: a few oracles verify by brute force on purpose (independent
+re-derivation beats re-implementing the operator's pruning): the
+``dedup_minhash_keep`` oracle joins all document pairs and closes the
+duplicate graph with a recursive CTE — O(n^2) pairs, tractable at the
+driver's sf0.01 gate (~8 s), intractable at sf0.1+ (the Spark side runs
+sf0.1 in ~4 s; see bench). Run the full sweep at sf0.01; at larger SFs
+skip that query.
 """
 
 from __future__ import annotations
