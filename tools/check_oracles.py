@@ -10,8 +10,9 @@ re-derivation beats re-implementing the operator's pruning): the
 ``dedup_minhash_keep`` oracle joins all document pairs and closes the
 duplicate graph with a recursive CTE — O(n^2) pairs, tractable at the
 driver's sf0.01 gate (~8 s), intractable at sf0.1+ (the Spark side runs
-sf0.1 in ~4 s; see bench). Run the full sweep at sf0.01; at larger SFs
-skip that query.
+sf0.1 in ~4 s; see bench). ``dedup_ngram_pairs`` shares the shape
+(all-pairs char-5-gram list intersections). Run the full sweep at
+sf0.01; at larger SFs skip those two.
 """
 
 from __future__ import annotations
