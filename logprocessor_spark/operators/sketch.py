@@ -79,9 +79,13 @@ def cms_estimate(
         ).alias("row", "bucket"),
     )
     return (
-        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        # LEFT join + coalesce(0): a probe bucket with no cell means no
+        # token ever hashed there — the estimate for an unseen key must
+        # be 0, not "min over the buckets that happen to exist" (which
+        # inflates) or a silently missing output row (inner join).
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
         .groupBy("token")
-        .agg(F.min("cnt").alias("est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
 
 
@@ -140,7 +144,8 @@ def hll_registers(
         _HLL_WBITS + 1 - F.length(F.bin(w))
     )
     return (
-        docs.select(b.alias("b"), rho.alias("rho"))
+        docs.where(key.isNotNull())
+        .select(b.alias("b"), rho.alias("rho"))
         .groupBy("b")
         .agg(F.max("rho").alias("reg"))
     )

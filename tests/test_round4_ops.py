@@ -656,3 +656,18 @@ def test_hll_rank_matches_python_ref(spark):
         rho = 55 if w == 0 else 55 - w.bit_length()
         regs[b] = max(regs.get(b, 0), rho)
     assert got == regs
+
+
+def test_cms_unseen_key_estimates_zero_or_collision(spark):
+    from logprocessor_spark.operators.sketch import cms_build, cms_estimate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sk = cms_build(docs)
+    unseen = spark.createDataFrame(
+        [("zzz-not-in-corpus-1",), ("zzz-not-in-corpus-2",)], ["token"]
+    )
+    est = {r["token"]: r["est"] for r in cms_estimate(sk, unseen).collect()}
+    assert set(est) == {"zzz-not-in-corpus-1", "zzz-not-in-corpus-2"}
+    # with 4 rows x 512 buckets and ~31 distinct tokens, at least one of
+    # an unseen key's buckets is empty with overwhelming probability
+    assert all(v == 0 for v in est.values()), est
