@@ -89,6 +89,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _cache_tag(sf_dir: str, table: str = "embeddings") -> str:
+    """Cache key for /tmp-materialized index dirs: hashes the source
+    parquet's path AND its (size, mtime_ns), plus the uid, so (a)
+    regenerated data under the same sf_dir gets a fresh index instead of
+    silently reusing a stale one, and (b) two users on a shared host
+    never collide on a predictable path (r4 ADVICE). Stat of a missing
+    file keys on the path alone — the downstream read fails loudly."""
+    import hashlib
+    import os
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        st = os.stat(src)
+        sig = f"{src}|{st.st_size}|{st.st_mtime_ns}|{os.getuid()}"
+    except OSError:
+        sig = f"{src}|{os.getuid()}"
+    return hashlib.md5(sig.encode()).hexdigest()[:12]
+
+
 def _arr(vals: list[str]) -> F.Column:
     return F.array(*[F.lit(v) for v in vals])
 
@@ -1442,14 +1461,12 @@ def q_ann_lsh_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     (once per sf_dir, cached in /tmp), then answer with a partition-pruned
     scan. Result set identical to ``ann_lsh_topk`` (same planes/seed) —
     asserted in tests/test_similarity.py; rows-only for the driver."""
-    import hashlib
     import os
 
     from .operators.similarity import lsh_ann_topk_prebucketed, materialize_lsh_buckets
 
     emb = _t(spark, sf_dir, "embeddings")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    path = f"/tmp/lp_lsh_buckets_{tag}"
+    path = f"/tmp/lp_lsh_buckets_{_cache_tag(sf_dir)}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         materialize_lsh_buckets(emb, path)
     qv = emb.where(F.col("vec_id") == 7).select("embedding").first()[0]
@@ -1461,15 +1478,13 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached in /tmp), probe = partition-pruned scan of the nprobe nearest
     lists. Rows-only for the driver (k-means isn't SQL-expressible);
     result sims verified against brute force in tests/test_similarity.py."""
-    import hashlib
     import json
     import os
 
     from .operators.similarity import ivf_build, ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    path = f"/tmp/lp_ivf_{tag}"
+    path = f"/tmp/lp_ivf_{_cache_tag(sf_dir)}"
     cfile = f"{path}_centroids.json"
     if not (os.path.exists(os.path.join(path, "_SUCCESS")) and os.path.exists(cfile)):
         cents = ivf_build(emb.select("vec_id", "embedding"), path, k=16)
@@ -2960,7 +2975,11 @@ def q_curate_corpus_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = dedup_paragraphs(kept_docs, chunk_words=PARA_CHUNK_WORDS).persist()
     scored = hashed_linear_score(deduped, text_col="text_dedup")
     return (
-        deduped.join(
+        # n_kept > 0 gate: a fully-deduplicated document (every chunk seen
+        # earlier) has empty text_dedup, which scores feat_sum=0 -> 'keep';
+        # curation must drop it, not emit an empty keeper (r4 ADVICE).
+        deduped.where(F.col("n_kept") > 0)
+        .join(
             scored.where(F.col("label") == "keep").select("doc_id", "feat_sum"),
             "doc_id",
         )
@@ -3021,7 +3040,7 @@ SELECT r.doc_id, r.n_kept, r.n_total,
        coalesce(a.feat_sum, 0) AS feat_sum,
        md5(r.text_dedup) AS clean_fp
 FROM reb r LEFT JOIN agg a USING (doc_id)
-WHERE coalesce(a.feat_sum, 0) >= 0
+WHERE coalesce(a.feat_sum, 0) >= 0 AND r.n_kept > 0
 ORDER BY r.doc_id
 """
 
@@ -3322,14 +3341,12 @@ def q_ivfpq_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan partition-prunes to nprobe/KC of the index. Same oracle as
     ``ivfpq_topk`` — results are expression-identical, which makes the
     hash gate double as the index-path equivalence proof."""
-    import hashlib
     import os
 
     from .operators.pq import ivfpq_topk_prebuilt, materialize_ivfpq_index
 
     emb = _t(spark, sf_dir, "embeddings")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    path = f"/tmp/lp_ivfpq_codes_{tag}"
+    path = f"/tmp/lp_ivfpq_codes_{_cache_tag(sf_dir)}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         materialize_ivfpq_index(emb, path)
     return ivfpq_topk_prebuilt(

@@ -8,7 +8,12 @@ addition — the streaming/partitioned-corpus shape: each partition
 sketches locally, sketches add, queries never touch raw tokens again.
 The one-sided guarantee (est ≥ true; est ≤ true + εN with prob 1-δ)
 makes it a SUPERSET filter for heavy hitters — candidates it returns are
-verified cheaply, candidates it misses cannot exist.
+verified cheaply, candidates it misses cannot exist. Point queries
+(``cms_estimate``) never touch raw tokens; heavy-hitter ENUMERATION
+necessarily rescans the token stream for candidates, but scan-side only
+— the hot-bucket gate in ``cms_heavy_hitters`` keeps the full vocabulary
+out of any exchange (an external candidate list via ``cms_estimate``
+remains the zero-rescan path).
 
 Deterministic by construction: the d hash rows use the portable 60-bit
 md5 prefix with an integer row-salt (same hash family as the
@@ -100,15 +105,32 @@ def cms_heavy_hitters(
     ``threshold``, heaviest first (ties lexicographic). est ≥ true count
     always, so no true heavy hitter is ever missed; over-threshold
     false positives are the documented CMS trade (verify exactly against
-    the corpus if exactness matters — ``vocab_topk`` is that pass)."""
-    sketch = cms_build(docs, text_col, depth, width)
-    keys = (
-        docs.select(
-            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("token")
+    the corpus if exactness matters — ``vocab_topk`` is that pass).
+
+    Scale shape (candidate generation WITHOUT a full-vocab shuffle): a
+    token's estimate reaches ``threshold`` iff ALL d of its buckets are
+    hot (cnt ≥ threshold) — est is the min over rows. Hot cells number at
+    most d·N/threshold (and never more than the d·w grid that already
+    broadcasts for estimation), so candidates are gated SCAN-SIDE by d
+    broadcast semi-joins against the per-row hot-bucket sets; only
+    occurrences of qualifying tokens ever reach the dedup exchange (whose
+    map-side partial agg bounds shuffle rows at partitions × heavy
+    tokens). The output is identical to enumerating the full vocabulary —
+    the gate is exact, not a heuristic — but the corpus-wide token
+    distinct() that a naive probe needs never happens."""
+    sketch = cms_build(docs, text_col, depth, width).persist()
+    hot = sketch.where(F.col("cnt") >= threshold)
+    occ = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("token")
+    ).where(F.col("token") != "")
+    for r in range(depth):
+        hot_r = hot.where(F.col("row") == r).select(F.col("bucket").alias(f"__hb{r}"))
+        occ = occ.join(
+            F.broadcast(hot_r),
+            _cms_bucket(F.col("token"), r, width) == F.col(f"__hb{r}"),
+            "leftsemi",
         )
-        .where(F.col("token") != "")
-        .distinct()
-    )
+    keys = occ.distinct()
     est = cms_estimate(sketch, keys, "token", depth, width)
     return est.where(F.col("est") >= threshold).orderBy(
         F.desc("est"), F.asc("token")
@@ -158,13 +180,17 @@ def hll_estimate(registers: DataFrame, m: int = HLL_M) -> DataFrame:
     the estimate works straight off the sparse groupBy output. Rounded to
     2 decimals — the float sum's order noise is ~1 ulp."""
     agg = registers.agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("z_present"),
+        # coalesce: F.sum over zero rows is NULL, and an empty register
+        # table (empty corpus / all-null keys) must estimate 0, not NULL
+        F.coalesce(
+            F.sum(F.pow(F.lit(2.0), -F.col("reg"))), F.lit(0.0)
+        ).alias("z_present"),
         F.count(F.lit(1)).alias("m_present"),
     )
     z = F.col("z_present") + (F.lit(m) - F.col("m_present"))  # absent -> 2^0
     zeros = F.lit(m) - F.col("m_present")
     raw = F.lit(HLL_ALPHA) * F.lit(float(m * m)) / z
-    est = F.when(
+    est = F.when(F.col("m_present") == 0, F.lit(0.0)).when(
         (raw <= 2.5 * m) & (zeros > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
     ).otherwise(raw)

@@ -19,18 +19,27 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# query params that never identify content (analytics / click tracking)
-TRACKING_PARAM_REGEX = r"^(utm_[a-z]+|fbclid|gclid|msclkid|ref|ref_src)="
+# Query params that never identify content: pure analytics / click-tracking
+# IDs only. Deliberately NOT ``ref``/``ref_src`` — ``ref`` is
+# content-identifying on many real sites (git hosting ``?ref=branch``,
+# package registries), so dropping it would silently merge distinct pages
+# before dedup. Matched case-insensitively ((?i)): hosts are lowercased but
+# param names are not, and ``UTM_SOURCE=x`` must collapse with
+# ``utm_source=x`` rather than split the canonical key.
+TRACKING_PARAM_REGEX = r"(?i)^(utm_[a-z]+|fbclid|gclid|msclkid)="
 
 
-def canonical_url(url: Column) -> Column:
+def canonical_url(
+    url: Column, tracking_param_regex: str = TRACKING_PARAM_REGEX
+) -> Column:
     """Normalize a URL to its canonical form:
 
     * scheme and host lowercased; ``www.`` prefix dropped
     * default ports stripped (``:80`` for http, ``:443`` for https)
     * fragment dropped
-    * tracking params (``utm_*``, ``fbclid``, ``gclid``, ``msclkid``,
-      ``ref``, ``ref_src``) dropped; remaining params sorted bytewise so
+    * tracking params (``utm_*``, ``fbclid``, ``gclid``, ``msclkid``;
+      case-insensitive; override via ``tracking_param_regex`` for
+      site-specific lists) dropped; remaining params sorted bytewise so
       param order never splits a key; empty query drops its ``?``
     * trailing slash stripped from non-root paths; empty path -> ``/``
 
@@ -61,7 +70,7 @@ def canonical_url(url: Column) -> Column:
         F.array_sort(
             F.filter(
                 F.split(query, "&"),
-                lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_REGEX),
+                lambda p: (p != "") & ~p.rlike(tracking_param_regex),
             )
         ),
         "&",

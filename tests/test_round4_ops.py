@@ -44,7 +44,12 @@ CANON_CASES = [
     ("https://example.com/a?b=2&a=1", "https://example.com/a?a=1&b=2"),
     ("https://example.com/a?utm_source=x&a=1", "https://example.com/a?a=1"),
     ("https://example.com/a?utm_source=x", "https://example.com/a"),
-    ("https://example.com/a?fbclid=Z&gclid=Y&ref=t&a=1", "https://example.com/a?a=1"),
+    ("https://example.com/a?fbclid=Z&gclid=Y&a=1", "https://example.com/a?a=1"),
+    # 'ref' is content-identifying (git hosting ?ref=branch) — kept
+    ("https://example.com/a?ref=main&a=1", "https://example.com/a?a=1&ref=main"),
+    # tracking-param names match case-insensitively (hosts lowercase, params don't)
+    ("https://example.com/a?UTM_SOURCE=x&a=1", "https://example.com/a?a=1"),
+    ("https://example.com/a?FbClid=Z", "https://example.com/a"),
     ("https://example.com/a?refresh=1", "https://example.com/a?refresh=1"),  # not 'ref'
     ("https://www.example.com/a?b=2&a=1#f", "https://example.com/a?a=1&b=2"),
     # malformed rows pass through untouched (never merged into one key)
@@ -613,6 +618,46 @@ def test_cms_heavy_hitters_superset_and_merge(spark):
     )
 
 
+def test_cms_heavy_hitters_gate_equals_full_vocab_enumeration(spark):
+    """The scan-side hot-bucket gate is EXACT: it returns precisely the
+    rows that enumerating every distinct corpus token through
+    cms_estimate would (est ≥ θ ⟺ all d buckets hot), while the plan
+    gates occurrences with broadcast LeftSemi joins before any exchange
+    instead of shuffling the full vocabulary."""
+    from logprocessor_spark.operators.sketch import (
+        CMS_DEPTH,
+        cms_build,
+        cms_estimate,
+        cms_heavy_hitters,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    hh = cms_heavy_hitters(docs, threshold=100)
+    got = sorted(tuple(r) for r in hh.collect())
+
+    sketch = cms_build(docs)
+    vocab = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
+        )
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    want = sorted(
+        tuple(r)
+        for r in cms_estimate(sketch, vocab).where(F.col("est") >= 100).collect()
+    )
+    assert got == want and len(got) > 0
+
+    # candidate gating is d broadcast LeftSemi probes, scan-side
+    plan = hh._sc._jvm.PythonSQLUtils.explainString(
+        hh._jdf.queryExecution(), "formatted"
+    )
+    # formatted output repeats nodes (AQE initial+final plan, tree+detail
+    # sections) so count is a multiple of the d joins, never fewer
+    assert plan.count("LeftSemi") >= CMS_DEPTH, plan.count("LeftSemi")
+
+
 # ---------------------------------------------------------------------------
 # HyperLogLog
 
@@ -640,6 +685,20 @@ def test_hll_estimate_accuracy_and_merge(spark):
     assert sorted(tuple(r) for r in merged.collect()) == sorted(
         tuple(r) for r in whole.collect()
     )
+
+
+def test_hll_estimate_empty_registers_is_zero(spark):
+    """An empty register table (empty corpus or all-null keys) estimates
+    0.0, not NULL — F.sum over zero rows is NULL and must be coalesced."""
+    from logprocessor_spark.operators.sketch import hll_estimate, hll_registers
+
+    empty_docs = spark.createDataFrame([], "text string")
+    est = hll_estimate(hll_registers(empty_docs, F.col("text"))).collect()
+    assert len(est) == 1 and est[0]["n_distinct_est"] == 0.0
+
+    all_null = spark.createDataFrame([(None,), (None,)], "text string")
+    est2 = hll_estimate(hll_registers(all_null, F.col("text"))).collect()
+    assert len(est2) == 1 and est2[0]["n_distinct_est"] == 0.0
 
 
 def test_hll_rank_matches_python_ref(spark):

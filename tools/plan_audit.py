@@ -182,17 +182,16 @@ def main() -> None:
     )
 
     # prebucketed ANN: bucket predicate prunes partitions at the scan
-    import hashlib
     import os
 
+    from logprocessor_spark.harness import _cache_tag
     from logprocessor_spark.operators.similarity import (
         lsh_ann_topk_prebucketed,
         materialize_lsh_buckets,
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    bpath = f"/tmp/lp_lsh_buckets_{tag}"
+    bpath = f"/tmp/lp_lsh_buckets_{_cache_tag(sf_dir)}"
     if not os.path.exists(os.path.join(bpath, "_SUCCESS")):
         materialize_lsh_buckets(emb.select("vec_id", "embedding"), bpath)
     qv = [float(x) for x in emb.where("vec_id = 7").first().embedding]
