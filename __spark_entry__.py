@@ -9,8 +9,9 @@ Implementations live in ``logprocessor_spark/harness.py``; operator
 coverage maps to SURVEY.md §2 (parse F1-F9, enrich J1-J2, route
 S5-S7/F11, quarantine P2/X4, point lookup S8, search O1-O3, aggregates
 A1-A4 + salted two-phase) plus the training-data operators (dedup,
-similarity search, text analysis). Queries without an oracle entry are
-xxhash64-based LSH ops (not SQL-expressible) — rows-only check.
+similarity search, text analysis). As of round 5 every registered query
+has an oracle entry (the deterministic hash-sampled IVF quantizer closed
+the last rows-only gap).
 """
 
 from __future__ import annotations

@@ -1473,27 +1473,88 @@ def q_ann_lsh_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk_prebucketed(spark, path, list(qv), k=10)
 
 
+ANN_IVF_K = 16      # inverted lists (hash-sampled data-vector centers)
+ANN_IVF_NPROBE = 4  # lists probed
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: seeded k-means inverted lists (built once per sf_dir,
-    cached in /tmp), probe = partition-pruned scan of the nprobe nearest
-    lists. Rows-only for the driver (k-means isn't SQL-expressible);
-    result sims verified against brute force in tests/test_similarity.py."""
+    """IVF ANN with the deterministic hash-sampled coarse quantizer
+    (operators/similarity.py ``ivf_build_deterministic``): centers are
+    the 16 data vectors with smallest portable md5(vec_id), assignment is
+    the 64-term left-fold argmin, probes rank by round(cos,6) — every
+    step SQL-expressible, so this query is fully oracle-gated (r4 closed
+    the last rows-only gap). The trained k-means quantizer (``ivf_build``)
+    stays the recall-tuned deployment path, same index layout + probe
+    (recall compared in tests/test_similarity.py)."""
     import json
     import os
 
-    from .operators.similarity import ivf_build, ivf_topk
+    from .operators.similarity import ivf_build_deterministic, ivf_topk_deterministic
 
     emb = _t(spark, sf_dir, "embeddings")
     path = f"/tmp/lp_ivf_{_cache_tag(sf_dir)}"
     cfile = f"{path}_centroids.json"
     if not (os.path.exists(os.path.join(path, "_SUCCESS")) and os.path.exists(cfile)):
-        cents = ivf_build(emb.select("vec_id", "embedding"), path, k=16)
+        cents = ivf_build_deterministic(
+            emb.select("vec_id", "embedding"), path, k=ANN_IVF_K
+        )
         with open(cfile, "w") as f:
             json.dump(cents, f)
     with open(cfile) as f:
         cents = json.load(f)
     qv = emb.where(F.col("vec_id") == 7).select("embedding").first()[0]
-    return ivf_topk(spark, path, cents, list(qv), k=10, nprobe=4)
+    return ivf_topk_deterministic(
+        spark, path, cents, list(qv), k=10, nprobe=ANN_IVF_NPROBE
+    )
+
+
+def _sql_ann_ivf_topk() -> str:
+    """DuckDB twin of the whole deterministic-IVF path: re-derives the
+    hash-sampled centers, the 64-term assignment fold (same
+    left-association as operators/pq._full_dist), the round(cos,6) probe
+    ranking, and the candidate-restricted cosine top-k."""
+    dim = 64
+    fdist = " + ".join(
+        f"((v[{d + 1}]::DOUBLE - g[{d + 1}]::DOUBLE)"
+        f" * (v[{d + 1}]::DOUBLE - g[{d + 1}]::DOUBLE))"
+        for d in range(dim)
+    )
+    return f"""
+WITH hsh AS (
+  SELECT vec_id, embedding,
+         ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM embeddings
+), cent AS (
+  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS c, embedding AS g
+  FROM (SELECT * FROM hsh ORDER BY h, vec_id LIMIT {ANN_IVF_K})
+), ev AS (SELECT vec_id, embedding AS v FROM embeddings),
+ad AS (SELECT ev.vec_id, cent.c, {fdist} AS dist FROM ev, cent),
+arn AS (
+  SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+  FROM ad
+), lists AS (SELECT vec_id, c AS list_id FROM arn WHERE rn = 1),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+cq AS (SELECT cent.c, unnest(cent.g)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+       FROM cent, q),
+cs AS (SELECT c, round(sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))), 6) AS pcs
+       FROM cq GROUP BY c),
+probes AS (SELECT c FROM cs ORDER BY pcs DESC, c LIMIT {ANN_IVF_NPROBE}),
+cand AS (
+  SELECT e.vec_id, e.embedding FROM embeddings e
+  JOIN lists USING (vec_id) JOIN probes ON lists.list_id = probes.c
+), z AS (
+  SELECT cand.vec_id, unnest(cand.embedding)::DOUBLE AS x,
+         unnest(q.qv)::DOUBLE AS y
+  FROM cand, q
+), s AS (
+  SELECT vec_id, round(sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))), 6) AS cosine_sim
+  FROM z GROUP BY vec_id
+)
+SELECT vec_id, cosine_sim FROM s ORDER BY cosine_sim DESC, vec_id LIMIT 10
+"""
+
+
+SQL_ANN_IVF_TOPK = _sql_ann_ivf_topk()
 
 
 def q_doc_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3491,11 +3552,11 @@ ORACLES: dict[str, str] = {
     # (same planes/seed/probe radius, partition-pruned scan instead of a
     # full pass) — the same oracle SQL checks it.
     "ann_lsh_topk_pruned": SQL_ANN_LSH_TOPK,
-    # ann_ivf_topk stays rows-only: the probe set depends on MLlib k-means
-    # centroids (iterative, seeded RNG init) which no SQL engine
-    # reproduces; sims are verified against brute force in
-    # tests/test_similarity.py and the candidate-fraction/pruning shape is
-    # plan-audited.
+    # ann_ivf_topk: oracle-closed in round 5 — the deterministic
+    # hash-sampled coarse quantizer makes the whole path (centers,
+    # assignment fold, probe ranking, rerank) SQL-expressible; the trained
+    # k-means quantizer remains available as ivf_build for deployments.
+    "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "knn_join": SQL_KNN_JOIN,
     "near_dup_embeddings": SQL_NEAR_DUP_EMBEDDINGS,
     "near_dup_embeddings_lsh": SQL_NEAR_DUP_EMBEDDINGS_LSH,

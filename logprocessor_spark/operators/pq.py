@@ -109,6 +109,80 @@ def pq_encode(
     )
 
 
+def train_pq_codebook(
+    emb: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    ds: int = PQ_DS,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    train_fraction: float = 1.0,
+) -> DataFrame:
+    """TRAINED per-subspace codebook (Lloyd k-means), same (s, k,
+    c0..c{ds-1}) shape as ``formula_codebook`` so it drops into
+    ``pq_encode``/``pq_adc_topk`` unchanged — the deployment path the
+    formula codebook stands in for during oracle gating (real centroids
+    beat a data-oblivious formula on quantization error, measured in
+    tests/test_ann_recall.py).
+
+    Deterministic init, no RNG: centers start from the k corpus vectors
+    with the smallest portable md5(id) (the ``ivf_build_deterministic``
+    rule). Each Lloyd round is one assignment (the same broadcast-join
+    argmin as pq_encode) plus one groupBy mean per (s, code); centroids
+    collect driver-side (m·k·ds doubles — tiny) to build the next round's
+    broadcast table. Empty clusters keep their previous center. At corpus
+    scale train on ``train_fraction`` — centroids converge long before
+    10^12 rows are seen."""
+    spark = emb.sparkSession
+    train = emb if train_fraction >= 1.0 else emb.sample(train_fraction, seed=7)
+    h = F.conv(
+        F.substring(F.md5(F.encode(F.col(id_col).cast("string"), "UTF-8")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    seeds = (
+        train.select(F.col(id_col), F.col("embedding"))
+        .orderBy(h.asc(), F.col(id_col).asc())
+        .limit(k)
+        .collect()
+    )
+    cents = {
+        (s, kk): [float(seeds[kk][1][s * ds + d]) for d in range(ds)]
+        for s in range(m)
+        for kk in range(k)
+    }
+
+    def as_df(c):
+        return spark.createDataFrame(
+            [tuple([s, kk] + c[(s, kk)]) for s in range(m) for kk in range(k)],
+            ["s", "k"] + [f"c{d}" for d in range(ds)],
+        )
+
+    sub = train.select(
+        F.col(id_col).alias("vec_id"),
+        "embedding",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+    )
+    for _ in range(iters):
+        codes = pq_encode(train, as_df(cents), m, ds, id_col)
+        means = (
+            sub.join(codes, ["vec_id", "s"])
+            .groupBy("s", "code")
+            .agg(
+                *[
+                    F.avg(
+                        F.get(F.col("embedding"), F.col("s") * ds + d).cast("double")
+                    ).alias(f"c{d}")
+                    for d in range(ds)
+                ]
+            )
+            .collect()
+        )
+        for r in means:
+            cents[(r["s"], r["code"])] = [float(r[f"c{d}"]) for d in range(ds)]
+    return as_df(cents)
+
+
 def pq_adc_topk(
     emb: DataFrame,
     query_vec_id: int,
@@ -117,6 +191,7 @@ def pq_adc_topk(
     ds: int = PQ_DS,
     kc: int = PQ_K,
     id_col: str = "vec_id",
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k by ADC against PQ codes.
 
@@ -124,9 +199,11 @@ def pq_adc_topk(
     identical ``_sub_dist`` expression (no driver float math), broadcast,
     and joined to the corpus codes on (s, code); one groupBy sums the M
     lookups. Distances round to 6 decimals for cross-engine hash parity
-    (the cosine-score rule); ties break on vec_id."""
+    (the cosine-score rule); ties break on vec_id. ``codebook`` swaps the
+    formula codebook for a trained one (``train_pq_codebook``) — same
+    plan shape, the broadcast table just carries different doubles."""
     spark = emb.sparkSession
-    cb = formula_codebook(spark, m, kc, ds)
+    cb = codebook if codebook is not None else formula_codebook(spark, m, kc, ds)
     codes = pq_encode(emb, cb, m, ds, id_col)
     qtab = (
         emb.where(F.col(id_col) == query_vec_id)

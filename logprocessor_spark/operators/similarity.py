@@ -500,6 +500,106 @@ def ivf_topk(
     return cosine_topk(lists, query_vec, k, id_col, vec_col)
 
 
+def ivf_build_deterministic(
+    emb: DataFrame,
+    path: str,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """IVF index build with a DETERMINISTIC, SQL-reproducible coarse
+    quantizer: the centers are the k corpus vectors with the smallest
+    portable 60-bit hash of their id (first 15 hex chars of md5 — the
+    same hash family as SimHash/CMS/HLL), list_id = ascending
+    (hash, id) rank. Hash-sampled centers are real data points, so the
+    quantizer adapts to the data distribution (unlike formula or
+    hyperplane codebooks) while every step — center choice, assignment
+    argmin, probe ranking — has an exact DuckDB twin (harness oracle
+    ``ann_ivf_topk``). For recall-tuned deployments swap in the trained
+    k-means ``ivf_build``; same index layout, same probe path.
+
+    Center selection is orderBy+limit (TakeOrderedAndProject: per
+    partition k rows, driver merges — no global sort); assignment is the
+    broadcast-join argmin of ``operators/pq.ivf_assign`` (64-term
+    left-associated fold, bit-identical across engines); the corpus is
+    written partitioned by list_id so probes prune partitions."""
+    from .pq import ivf_assign
+
+    spark = emb.sparkSession
+    h = F.conv(
+        F.substring(F.md5(F.encode(F.col(id_col).cast("string"), "UTF-8")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    crows = (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .orderBy(h.asc(), F.col(id_col).asc())
+        .limit(k)
+        .collect()
+    )
+    centers = [[float(x) for x in r[1]] for r in crows]
+    dim = len(centers[0])
+    coarse = spark.createDataFrame(
+        [tuple([c] + centers[c]) for c in range(k)],
+        ["c"] + [f"g{d}" for d in range(dim)],
+    )
+    assigned = ivf_assign(
+        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
+        coarse,
+        dim,
+    )
+    (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .join(assigned.withColumnRenamed("vec_id", id_col), id_col)
+        .repartition(F.col("list_id"))
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(path)
+    )
+    return centers
+
+
+def ivf_probe_ids(
+    spark, centers: list[list[float]], query_vec: list[float], nprobe: int
+) -> list[int]:
+    """Rank centers by cosine to the query ENGINE-side (16-row job) with
+    the same round(cos, 6) + id tiebreak the corpus rerank uses, so the
+    probe choice is reproducible in any engine (driver Python float math
+    would be a third float implementation to keep in sync). Returns the
+    ``nprobe`` best list ids — nprobe ints, the documented dimension-sized
+    collect."""
+    cent = spark.createDataFrame(
+        [(c, centers[c]) for c in range(len(centers))],
+        schema="c int, g array<double>",
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    rows = (
+        cent.select("c", F.round(cosine(F.col("g"), q), 6).alias("cs"))
+        .orderBy(F.desc("cs"), F.asc("c"))
+        .limit(nprobe)
+        .collect()
+    )
+    return [r["c"] for r in rows]
+
+
+def ivf_topk_deterministic(
+    spark,
+    path: str,
+    centers: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe over a ``ivf_build_deterministic`` index: engine-ranked
+    probe lists (see ``ivf_probe_ids``), partition-pruned scan of the
+    nprobe lists, exact cosine rerank. Candidate fraction ~ nprobe/k."""
+    probes = ivf_probe_ids(spark, centers, query_vec, nprobe)
+    lists = spark.read.parquet(path).where(F.col("list_id").isin(probes))
+    return cosine_topk(lists, query_vec, k, id_col, vec_col)
+
+
 def cosine_knn_join(
     queries: DataFrame,
     corpus: DataFrame,

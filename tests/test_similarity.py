@@ -174,6 +174,33 @@ def test_ivf_build_and_probe(spark, emb, query_vec, tmp_path):
     assert cand < emb.count()
 
 
+def test_ivf_deterministic_build_and_probe(spark, emb, query_vec, tmp_path):
+    """Hash-sampled-center IVF (the oracle-gated quantizer): self found
+    at rank 1, every returned sim equals brute force, rebuild reproduces
+    the identical centers (no RNG anywhere), probe prunes partitions."""
+    import os
+
+    from logprocessor_spark.operators.similarity import (
+        ivf_build_deterministic,
+        ivf_topk_deterministic,
+    )
+
+    path = str(tmp_path / "ivfd")
+    cents = ivf_build_deterministic(emb.select("vec_id", "embedding"), path, k=8)
+    assert len(cents) == 8 and len(cents[0]) == len(query_vec)
+    got = ivf_topk_deterministic(spark, path, cents, query_vec, k=5, nprobe=2).collect()
+    assert got[0].vec_id == 0 and got[0].cosine_sim == 1.0
+    brute = {r.vec_id: r.cosine_sim for r in cosine_topk(emb, query_vec, k=500).collect()}
+    for r in got:
+        assert brute[r.vec_id] == r.cosine_sim
+    n_lists = len([d for d in os.listdir(path) if d.startswith("list_id=")])
+    assert n_lists == 8
+
+    path2 = str(tmp_path / "ivfd2")
+    cents2 = ivf_build_deterministic(emb.select("vec_id", "embedding"), path2, k=8)
+    assert cents == cents2
+
+
 def test_hyperplane_bucket_matches_independent_reference(spark, emb):
     """Blind verification of the LSH bucket: recompute the hyperplane
     projections and sign-bit packing from first principles with the
