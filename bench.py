@@ -517,25 +517,53 @@ def mode_suite(args) -> None:
     # compares apples-to-apples: `queries` stays best-of-2 (r3-comparable),
     # `queries_cold` is the first-run wall (r1/r2-comparable, pays per-plan
     # codegen compile).
-    timings: dict[str, float] = {}
-    cold: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = harness.QUERIES[name]
-        walls = []
-        for _ in range(2):
+    # Capacity gating (VERDICT r4 #2): the r4 suite regressed ~1.23x
+    # UNIFORMLY vs r3 — including queries whose code hadn't changed —
+    # which is the signature of hypervisor steal, but r4 couldn't prove
+    # it because suite mode recorded nothing about host state. Now the
+    # two runs of each query happen in two temporally-separated PASSES,
+    # each pass admitted by the same ~10 s capacity probe the mp bench
+    # uses (bounded wait, then proceed), and every pass's measured
+    # slowdown factor is recorded in the JSON — so a uniformly inflated
+    # round is attributable (probe factor high) or a real regression
+    # (probe factor ~1, walls up).
+    gate_cores = min(int(args.cpus), os.cpu_count() or int(args.cpus))
+    probe_factors: list[float] = []
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    n_rows: dict[str, int] = {}
+    for pass_i in range(2):
+        probe_factors.append(
+            _wait_host_quiet(gate_cores, attempts=args.probe_attempts)
+        )
+        print(
+            f"# pass {pass_i}: capacity probe slowdown {probe_factors[-1]} "
+            f"({gate_cores} cores)",
+            file=sys.stderr, flush=True,
+        )
+        for name in HEADLINE:
+            fn = harness.QUERIES[name]
             spark.catalog.clearCache()
             t0 = time.time()
             df = fn(spark, sf_dir)
-            n = df.count()
-            walls.append(round(time.time() - t0, 3))
-        timings[name] = min(walls)
-        cold[name] = walls[0]
-        print(f"# {name}: {n} rows in {walls}s", file=sys.stderr)
+            n_rows[name] = df.count()
+            runs[name].append(round(time.time() - t0, 3))
+        print(
+            f"# pass {pass_i} walls: "
+            + " ".join(f"{k}={v[pass_i]}" for k, v in runs.items()),
+            file=sys.stderr,
+        )
+    timings = {name: min(w) for name, w in runs.items()}
+    cold = {name: w[0] for name, w in runs.items()}
+    for name in HEADLINE:
+        print(f"# {name}: {n_rows[name]} rows in {runs[name]}s", file=sys.stderr)
 
     workdir = tempfile.mkdtemp(prefix="benchpipe")
     pages = _make_input(spark, args.docs, workdir)
     from logprocessor_spark.job import run_pipeline
 
+    probe_factors.append(
+        _wait_host_quiet(gate_cores, attempts=args.probe_attempts)
+    )
     pipe_walls = []
     for i in range(2):
         spark.catalog.clearCache()
@@ -554,7 +582,10 @@ def mode_suite(args) -> None:
         "metric": "e2e_suite_wall",
         "value": total,
         "unit": "sec",
-        "protocol": "per-entry best-of-2 (steady-state min; r1/r2 were single-shot)",
+        "protocol": (
+            "per-entry best-of-2 across two capacity-gated passes "
+            "(steady-state min; r1/r2 were single-shot, r3/r4 back-to-back)"
+        ),
         "queries": timings,
         "queries_cold": cold,
         "value_cold": round(sum(cold.values()), 3),
@@ -565,6 +596,12 @@ def mode_suite(args) -> None:
             "docs_per_sec": round(res.rows_in / pipe_wall, 1),
         },
         "cpus": int(args.cpus),
+        # host-capacity probe: per-worker canary slowdown at gate time for
+        # [query pass 0, query pass 1, pipeline]; 1.0 = full capacity,
+        # >1.25 = the host withheld cores despite the bounded wait, so
+        # wall inflation this round is attributable to the host
+        "capacity_probe_slowdown_per_pass": probe_factors,
+        "capacity_gate_cores": gate_cores,
     }))
 
 
@@ -588,6 +625,11 @@ def main() -> None:
                     help="comma-separated dt values (pipeline mode)")
     ap.add_argument("--nproc", type=int, default=4)
     ap.add_argument("--base-cores", type=int, default=8)
+    ap.add_argument(
+        "--probe-attempts", type=int, default=6,
+        help="suite mode: max capacity-probe retries per pass (45 s apart) "
+        "before proceeding anyway with the factor recorded",
+    )
     args = ap.parse_args()
     if args.docs is None:
         # scaling needs enough parallel work to dominate fixed costs
