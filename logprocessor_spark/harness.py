@@ -3192,6 +3192,59 @@ FROM agg
 """
 
 
+def q_corpus_report_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-backed corpus report (the r4-primitive composition users
+    actually run): per lang, exact doc count + HLL-estimated distinct
+    texts. Where ``corpus_report`` computes exact distincts (a
+    per-group shuffle of every distinct value — the 10^12-doc
+    bottleneck), this keeps ONE 64-register sketch per lang: shuffle
+    rows ≤ langs × 64 regardless of corpus size, and sketches from two
+    crawls merge by cell-wise max. The register table and the estimator
+    are both hash/integer-exact, so even this probabilistic report is
+    fully oracle-gated."""
+    from .operators.sketch import hll_estimate, hll_registers
+
+    d = _t(spark, sf_dir, "documents")
+    est = hll_estimate(hll_registers(d, F.col("text"), by=("lang",)), by=("lang",))
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        counts.join(est, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce("n_distinct_est", F.lit(0.0)).alias("n_distinct_texts_est"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_CORPUS_REPORT_HLL = """
+WITH h AS (
+  SELECT lang, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+  FROM documents WHERE text IS NOT NULL
+), r AS (
+  SELECT lang, h % 64 AS b,
+         CASE WHEN h // 64 = 0 THEN 55 ELSE 55 - length(bin(h // 64)) END AS rho
+  FROM h
+), reg AS (
+  SELECT lang, b, CAST(max(rho) AS BIGINT) AS reg FROM r GROUP BY lang, b
+), agg AS (
+  SELECT lang, sum(pow(2.0, -reg)) AS zp, CAST(count(*) AS BIGINT) AS mp
+  FROM reg GROUP BY lang
+), est AS (
+  SELECT lang, round(
+    CASE WHEN (0.709 * 4096.0 / (zp + (64 - mp))) <= 160.0 AND (64 - mp) > 0
+         THEN 64.0 * ln(64.0 / (64 - mp))
+         ELSE 0.709 * 4096.0 / (zp + (64 - mp)) END, 2) AS e
+  FROM agg
+), counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+)
+SELECT c.lang, c.n_docs, coalesce(e.e, 0.0) AS n_distinct_texts_est
+FROM counts c LEFT JOIN est e USING (lang) ORDER BY c.lang
+"""
+
+
 def _pq_sql_cb() -> str:
     from .operators.pq import _CB_A, _CB_B, _CB_C, _CB_D, _CB_MOD, PQ_DS, PQ_K, PQ_M
 
@@ -3456,7 +3509,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "hll_registers": q_hll_registers,
     "hll_distinct": q_hll_distinct,
-    # -- positions 31-50: load-bearing backfill (2+ rounds green) --
+    # -- position 31: new in round 5 (inside the gate window) --
+    "corpus_report_hll": q_corpus_report_hll,
+    # -- positions 32-50: load-bearing backfill (2+ rounds green) --
     "log_parse_fields": q_log_parse_fields,
     "log_parse_errors": q_log_parse_errors,
     "log_extract_text": q_log_extract_text,
@@ -3598,4 +3653,5 @@ ORACLES: dict[str, str] = {
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "hll_registers": SQL_HLL_REGISTERS,
     "hll_distinct": SQL_HLL_DISTINCT,
+    "corpus_report_hll": SQL_CORPUS_REPORT_HLL,
 }

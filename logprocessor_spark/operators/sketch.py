@@ -146,14 +146,18 @@ _HLL_WBITS = 54            # 60-bit hash minus 6 bucket bits
 
 
 def hll_registers(
-    docs: DataFrame, key: Column, m: int = HLL_M
+    docs: DataFrame, key: Column, m: int = HLL_M, by: tuple[str, ...] = ()
 ) -> DataFrame:
     """(b, reg): per-bucket max leading-rank over the portable 60-bit md5
     hash — the HLL register table. Merging sketches is a union + groupBy
     max, cell-for-cell, like the CMS grid. Integer-exact: the rank uses
     bit_length via ``bin()`` string length (no float log2, whose rounding
     misorders values just below powers of two), so a SQL engine rebuilds
-    every register bit-for-bit."""
+    every register bit-for-bit.
+
+    ``by`` keeps one sketch PER GROUP (e.g. per lang) — the grouped-report
+    composition: output (*by, b, reg), still one map-side-combinable
+    groupBy, shuffle rows ≤ groups × m."""
     h = F.conv(F.substring(F.md5(F.encode(key, "UTF-8")), 1, 15), 16, 10).cast("long")
     b = h % m
     # integer shift, NOT `/` (double division loses bits above 2^53)
@@ -167,19 +171,22 @@ def hll_registers(
     )
     return (
         docs.where(key.isNotNull())
-        .select(b.alias("b"), rho.alias("rho"))
-        .groupBy("b")
+        .select(*by, b.alias("b"), rho.alias("rho"))
+        .groupBy(*by, "b")
         .agg(F.max("rho").alias("reg"))
     )
 
 
-def hll_estimate(registers: DataFrame, m: int = HLL_M) -> DataFrame:
-    """One row (n_distinct_est): the HLL estimator with the standard
-    small-range linear-counting correction. Registers absent from the
-    table count as zero (their 2^-0 = 1 term is added analytically), so
-    the estimate works straight off the sparse groupBy output. Rounded to
-    2 decimals — the float sum's order noise is ~1 ulp."""
-    agg = registers.agg(
+def hll_estimate(
+    registers: DataFrame, m: int = HLL_M, by: tuple[str, ...] = ()
+) -> DataFrame:
+    """(*by, n_distinct_est) — one row per group (one row total without
+    ``by``): the HLL estimator with the standard small-range
+    linear-counting correction. Registers absent from the table count as
+    zero (their 2^-0 = 1 term is added analytically), so the estimate
+    works straight off the sparse groupBy output. Rounded to 2 decimals —
+    the float sum's order noise is ~1 ulp."""
+    agg = registers.groupBy(*by).agg(
         # coalesce: F.sum over zero rows is NULL, and an empty register
         # table (empty corpus / all-null keys) must estimate 0, not NULL
         F.coalesce(
@@ -194,4 +201,4 @@ def hll_estimate(registers: DataFrame, m: int = HLL_M) -> DataFrame:
         (raw <= 2.5 * m) & (zeros > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
     ).otherwise(raw)
-    return agg.select(F.round(est, 2).alias("n_distinct_est"))
+    return agg.select(*by, F.round(est, 2).alias("n_distinct_est"))

@@ -687,6 +687,43 @@ def test_hll_estimate_accuracy_and_merge(spark):
     )
 
 
+def test_hll_grouped_estimate_accuracy(spark):
+    """Per-group sketches (by=('lang',)) estimate each group's distinct
+    count within HLL error, and the grouped register table restricted to
+    one group equals that group's standalone sketch (composability)."""
+    from logprocessor_spark.operators.sketch import hll_estimate, hll_registers
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    est = {
+        r["lang"]: r["n_distinct_est"]
+        for r in hll_estimate(
+            hll_registers(docs, F.col("text"), by=("lang",)), by=("lang",)
+        ).collect()
+    }
+    exact = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang")
+        .agg(F.countDistinct("text").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for lang, n in exact.items():
+        assert abs(est[lang] - n) / n < 0.35, (lang, est[lang], n)  # m=64
+
+    one = docs.where(F.col("lang") == sorted(exact)[0])
+    grouped_one = sorted(
+        (r["b"], r["reg"])
+        for r in hll_registers(docs, F.col("text"), by=("lang",))
+        .where(F.col("lang") == sorted(exact)[0])
+        .select("b", "reg")
+        .collect()
+    )
+    solo = sorted(
+        (r["b"], r["reg"]) for r in hll_registers(one, F.col("text")).collect()
+    )
+    assert grouped_one == solo
+
+
 def test_hll_estimate_empty_registers_is_zero(spark):
     """An empty register table (empty corpus or all-null keys) estimates
     0.0, not NULL — F.sum over zero rows is NULL and must be coalesced."""
