@@ -2889,6 +2889,221 @@ FROM rn GROUP BY doc_id
 """
 
 
+# Shared SQL fragments for the LM scoring queries (round 5): the verified
+# KN-bigram CTE chain parameterized by its source relation, and the
+# integer 16.16 fixed-point log2 cost (operators/lm_score.py twin).
+def _sql_kn_bigram_cte(src: str) -> str:
+    """CTE bodies lm_w..lm_probs deriving (w1, w2, p) KN-bigram
+    probabilities from relation ``src(text)`` — the SQL_KN_BIGRAM_LM
+    chain re-rooted so composed oracles train on a sub-corpus."""
+    return f"""lm_w AS (
+  SELECT string_split_regex(trim(lower(text)), '\\s+') AS wd
+  FROM {src} WHERE len(string_split_regex(trim(lower(text)), '\\s+')) >= 2
+), lm_bg AS (
+  SELECT unnest(list_transform(range(1, len(wd)), i -> wd[i])) AS w1,
+         unnest(list_transform(range(1, len(wd)), i -> wd[i+1])) AS w2
+  FROM lm_w
+), lm_c12 AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM lm_bg GROUP BY w1, w2
+), lm_lft AS (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+         CAST(count(*) AS BIGINT) AS n1f
+  FROM lm_c12 GROUP BY w1
+), lm_rgt AS (
+  SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM lm_c12 GROUP BY w2
+), lm_t AS (
+  SELECT CAST(count(*) AS BIGINT) AS tt FROM lm_c12
+), lm_probs AS (
+  SELECT w1, w2,
+    CAST((num * 1000000000) // den
+         + (CASE WHEN 2 * ((num * 1000000000) % den) >= den THEN 1 ELSE 0 END)
+      AS BIGINT) AS p
+  FROM (
+    SELECT c.w1, c.w2,
+      (greatest(4*c.c12 - 3, 0) * t.tt + 3 * l.n1f * r.n1b) AS num,
+      (4 * l.c1 * t.tt) AS den
+    FROM lm_c12 c JOIN lm_lft l ON c.w1 = l.w1
+                  JOIN lm_rgt r ON c.w2 = r.w2, lm_t t
+  )
+)"""
+
+
+# -log2(p) in 16.16 fixed point for integer-1e-9 probability column {p}:
+# bit-length integer part + one multiply-shift linear fraction — the
+# operators/lm_score.py log2_fx16 twin (1957078 = log2_fx16(1e9)).
+_SQL_NLL_FX16 = (
+    "1957078 - ((length(bin({p})) - 2) * 65536"
+    " + ({p} * 65536) // (1::BIGINT << (length(bin({p})) - 1)))"
+)
+
+
+def _sql_lm_score_cte(docs: str, text_expr: str = "text") -> str:
+    """CTE bodies sc_w..sc_avg scoring ``docs(doc_id, {text_expr})``
+    against lm_probs: per-doc bigram NLL sum + HALF_UP average, all
+    BIGINT (operators/lm_score.py score_documents twin; unseen grams and
+    sub-1e-9 probabilities cost the 1e-9 floor)."""
+    return f"""sc_w AS (
+  SELECT doc_id, string_split_regex(trim(lower({text_expr})), '\\s+') AS wd
+  FROM {docs}
+  WHERE len(string_split_regex(trim(lower({text_expr})), '\\s+')) >= 2
+), sc_bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(wd)), i -> wd[i])) AS w1,
+         unnest(list_transform(range(1, len(wd)), i -> wd[i+1])) AS w2
+  FROM sc_w
+), sc_cost AS (
+  SELECT doc_id, {_SQL_NLL_FX16.format(p="p2")} AS nll
+  FROM (
+    SELECT g.doc_id, greatest(coalesce(p.p, 1::BIGINT), 1::BIGINT) AS p2
+    FROM sc_bg g LEFT JOIN lm_probs p ON g.w1 = p.w1 AND g.w2 = p.w2
+  )
+), sc_agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(nll) AS BIGINT) AS nll_sum_fx16
+  FROM sc_cost GROUP BY doc_id
+), sc_avg AS (
+  SELECT doc_id, n_bigrams, nll_sum_fx16,
+    CAST(nll_sum_fx16 // n_bigrams
+         + (CASE WHEN 2 * (nll_sum_fx16 % n_bigrams) >= n_bigrams
+            THEN 1 ELSE 0 END) AS BIGINT) AS avg_nll_fx16
+  FROM sc_agg
+)"""
+
+
+def q_lm_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (operators/lm_score.py): train the
+    KN bigram model on the even-doc_id half of the corpus, score EVERY
+    document's bigrams against it (unseen grams cost the 1e-9 floor),
+    rank into head/middle/tail perplexity buckets. The whole score is
+    integer 16.16 fixed-point log2 arithmetic — bit-exact across engines
+    (float ln() last-ulp drift never enters), so the oracle hash-verifies
+    training, lookup, floor, summation, HALF_UP averaging, and bucketing
+    end to end."""
+    from .operators.lm_score import perplexity_buckets, score_documents
+    from .operators.ngram_lm import kn_bigram_probs
+
+    d = _t(spark, sf_dir, "documents")
+    lm = kn_bigram_probs(d.where(F.col("doc_id") % 2 == 0))
+    return perplexity_buckets(score_documents(d, lm))
+
+
+SQL_LM_DOC_PERPLEXITY = f"""
+WITH lm_src AS (
+  SELECT text FROM documents WHERE doc_id % 2 = 0
+), {_sql_kn_bigram_cte("lm_src")},
+{_sql_lm_score_cte("documents")}
+SELECT doc_id, n_bigrams, nll_sum_fx16, avg_nll_fx16,
+  CAST(ntile(3) OVER (ORDER BY avg_nll_fx16, doc_id) AS INTEGER) AS ppl_bucket,
+  CASE ntile(3) OVER (ORDER BY avg_nll_fx16, doc_id)
+       WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_label
+FROM sc_avg
+"""
+
+
+def q_curate_corpus_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet chain proper — paragraph-level exact dedup -> drop
+    fully-deduplicated docs -> heuristic language-ID -> KN-bigram LM
+    perplexity scoring (model trained on the even-doc_id half of the
+    DEDUPED text, the same order CCNet trains on its own cleaned shards)
+    -> keep the head+middle of the score distribution. Every stage is a
+    standalone hash-verified query (dedup_paragraphs, lang_id_counts,
+    kn_bigram_lm, lm_doc_perplexity); the oracle composes their SQL.
+
+    Scale shape: dedup is the hash-keyed window + one reassembly
+    groupBy; lang-ID and the bigram explode are narrow; the LM join is
+    broadcast-sized while the model fits; ntile is the gate-SF form
+    (scan-side bucket_by_thresholds is the 100 TB path — see
+    operators/lm_score.py)."""
+    from .functions.textstats import lang_id
+    from .operators.dedup import dedup_paragraphs
+    from .operators.lm_score import perplexity_buckets, score_documents
+    from .operators.ngram_lm import kn_bigram_probs
+
+    d = _t(spark, sf_dir, "documents")
+    deduped = (
+        dedup_paragraphs(d, chunk_words=PARA_CHUNK_WORDS)
+        .where(F.col("n_kept") > 0)
+        .persist()
+    )
+    lm = kn_bigram_probs(
+        deduped.where(F.col("doc_id") % 2 == 0), text_col="text_dedup"
+    )
+    scored = score_documents(deduped, lm, text_col="text_dedup")
+    return (
+        perplexity_buckets(scored)
+        .where(F.col("ppl_bucket") <= 2)
+        .join(
+            deduped.select(
+                "doc_id",
+                "n_kept",
+                lang_id(F.col("text_dedup")).alias("lang_pred"),
+            ),
+            "doc_id",
+        )
+        .select(
+            "doc_id", "lang_pred", "n_kept", "n_bigrams",
+            "avg_nll_fx16", "ppl_label",
+        )
+    )
+
+
+SQL_CURATE_CORPUS_V5 = f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS wd FROM documents
+), ex AS (
+  SELECT doc_id, wd,
+         unnest(range(0, CAST(ceil(len(wd) / {PARA_CHUNK_WORDS}.0) AS BIGINT))) AS idx
+  FROM w
+), ch AS (
+  SELECT doc_id, idx,
+         array_to_string(wd[(idx * {PARA_CHUNK_WORDS} + 1):(idx * {PARA_CHUNK_WORDS} + {PARA_CHUNK_WORDS})], ' ') AS chunk
+  FROM ex
+), rn AS (
+  SELECT doc_id, idx, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+  FROM ch
+), dd0 AS (
+  SELECT doc_id,
+         coalesce(string_agg(chunk, ' ' ORDER BY idx) FILTER (WHERE rn = 1), '') AS text_dedup,
+         CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept
+  FROM rn GROUP BY doc_id
+), dd AS (
+  SELECT doc_id, text_dedup, n_kept FROM dd0 WHERE n_kept > 0
+), lm_src AS (
+  SELECT text_dedup AS text FROM dd WHERE doc_id % 2 = 0
+), {_sql_kn_bigram_cte("lm_src")},
+{_sql_lm_score_cte("dd", "text_dedup")},
+bucketed AS (
+  SELECT doc_id, n_bigrams, avg_nll_fx16,
+    ntile(3) OVER (ORDER BY avg_nll_fx16, doc_id) AS b
+  FROM sc_avg
+), lang AS (
+  SELECT doc_id,
+    CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'
+         WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+         WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+         WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+         ELSE 'es' END AS lang_pred
+  FROM (
+    SELECT doc_id,
+      len(regexp_extract_all(text_dedup, '(?i)\\b(the|and|of|to|a|in|is|it)\\b')) AS s_en,
+      len(regexp_extract_all(text_dedup, '(?i)\\b(der|die|und|das|ist|nicht|ein)\\b')) AS s_de,
+      len(regexp_extract_all(text_dedup, '(?i)\\b(le|la|et|les|des|est|une)\\b')) AS s_fr,
+      len(regexp_extract_all(text_dedup, '(?i)\\b(el|la|los|que|es|una|por)\\b')) AS s_es
+    FROM dd
+  )
+)
+SELECT b.doc_id, l.lang_pred, d.n_kept, b.n_bigrams, b.avg_nll_fx16,
+  CASE b.b WHEN 1 THEN 'head' ELSE 'middle' END AS ppl_label
+FROM bucketed b
+JOIN dd d ON b.doc_id = d.doc_id
+JOIN lang l ON b.doc_id = l.doc_id
+WHERE b.b <= 2
+"""
+
+
+
+
 def q_host_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-blocklist gate (operators/urls.py filter_blocked_hosts):
     broadcast LEFT ANTI probe on the extracted host — the corpus never
@@ -3509,9 +3724,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "hll_registers": q_hll_registers,
     "hll_distinct": q_hll_distinct,
-    # -- position 31: new in round 5 (inside the gate window) --
+    # -- positions 31-33: new in round 5 (inside the gate window) --
     "corpus_report_hll": q_corpus_report_hll,
-    # -- positions 32-50: load-bearing backfill (2+ rounds green) --
+    "lm_doc_perplexity": q_lm_doc_perplexity,
+    "curate_corpus_v5": q_curate_corpus_v5,
+    # -- positions 34-50: load-bearing backfill (2+ rounds green) --
     "log_parse_fields": q_log_parse_fields,
     "log_parse_errors": q_log_parse_errors,
     "log_extract_text": q_log_extract_text,
@@ -3654,4 +3871,6 @@ ORACLES: dict[str, str] = {
     "hll_registers": SQL_HLL_REGISTERS,
     "hll_distinct": SQL_HLL_DISTINCT,
     "corpus_report_hll": SQL_CORPUS_REPORT_HLL,
+    "lm_doc_perplexity": SQL_LM_DOC_PERPLEXITY,
+    "curate_corpus_v5": SQL_CURATE_CORPUS_V5,
 }
