@@ -53,21 +53,40 @@ def hashed_linear_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     dim: int = DEFAULT_DIM,
+    weights: "list[int] | None" = None,
 ) -> DataFrame:
     """Per-document linear score: one pass tokenize -> bucket -> weight ->
     sum. Returns (doc_id, feat_sum, n_tokens, label) where ``label`` is
     'keep' iff the mean weight is non-negative (feat_sum >= 0 given
     n_tokens > 0). All integer columns — hash-stable across engines.
 
+    ``weights`` is the TRAINED-model import seam: a dense length-``dim``
+    integer weight table (e.g. a quantized fastText linear layer). It
+    ships as ONE array literal (``F.lit(list)`` is a single Literal node
+    — no 4096-branch when-chain, no janino 64 KB risk) and the lookup is
+    ``element_at``; plan shape is identical to the formula default, still
+    zero-shuffle. None keeps the deterministic formula weights the SQL
+    oracles re-derive.
+
     Narrow plan: no shuffle at all (per-row map), so at 100 TB this is a
     pure scan-side gate that fuses into whatever pipeline follows it.
     """
+    if weights is not None:
+        if len(weights) != dim:
+            raise ValueError(f"weights must have length dim={dim}, got {len(weights)}")
+        wtab = F.lit([int(w) for w in weights])
+
+        def weight_of(bucket):
+            return F.element_at(wtab, (bucket + 1).cast("int")).cast("long")
+
+    else:
+        weight_of = formula_weight
     tokens = F.filter(
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != ""
     )
-    weights = F.transform(tokens, lambda t: formula_weight(token_bucket(t, dim)))
+    weights_col = F.transform(tokens, lambda t: weight_of(token_bucket(t, dim)))
     feat_sum = F.aggregate(
-        weights, F.lit(0).cast("long"), lambda acc, w: acc + w
+        weights_col, F.lit(0).cast("long"), lambda acc, w: acc + w
     )
     n_tokens = F.size(tokens).cast("long")
     return df.select(
