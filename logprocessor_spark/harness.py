@@ -2746,6 +2746,117 @@ FROM j ORDER BY c123 DESC, w1, w2, w3 LIMIT 100
 """
 
 
+def q_kn_4gram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney 4-GRAM LM statistics with backoff through
+    the continuation-count trigram and bigram levels
+    (operators/ngram_lm.py kn_fourgram_probs) — one order below CCNet's
+    KenLM 5-gram, same recursion. Integer-exact 1e-9 emission; the
+    oracle re-derives all five count relations and the three-level
+    backoff chain bit-for-bit. Top 100 4-grams by count, lexicographic
+    ties."""
+    from .operators.ngram_lm import kn_fourgram_probs
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        kn_fourgram_probs(d)
+        .orderBy(F.desc("c1234"), "w1", "w2", "w3", "w4")
+        .limit(100)
+    )
+
+
+SQL_KN_4GRAM_LM = r"""
+WITH w AS (
+  SELECT string_split_regex(trim(lower(text)), '\s+') AS wd FROM documents
+), w4v AS (
+  SELECT wd FROM w WHERE len(wd) >= 4
+), qg AS (
+  SELECT unnest(list_transform(range(1, len(wd)-2), i -> wd[i]))   AS w1,
+         unnest(list_transform(range(1, len(wd)-2), i -> wd[i+1])) AS w2,
+         unnest(list_transform(range(1, len(wd)-2), i -> wd[i+2])) AS w3,
+         unnest(list_transform(range(1, len(wd)-2), i -> wd[i+3])) AS w4
+  FROM w4v
+), c1234 AS (
+  SELECT w1, w2, w3, w4, CAST(count(*) AS BIGINT) AS c1234
+  FROM qg GROUP BY w1, w2, w3, w4
+), ctx4 AS (
+  SELECT w1, w2, w3, CAST(sum(c1234) AS BIGINT) AS c123,
+         CAST(count(*) AS BIGINT) AS n4f
+  FROM c1234 GROUP BY w1, w2, w3
+), n234c AS (
+  SELECT w2, w3, w4, CAST(count(*) AS BIGINT) AS n234c
+  FROM c1234 GROUP BY w2, w3, w4
+), ctx3 AS (
+  SELECT w2, w3, CAST(sum(n234c) AS BIGINT) AS n23c,
+         CAST(count(*) AS BIGINT) AS n3f
+  FROM n234c GROUP BY w2, w3
+), w3v AS (
+  SELECT wd FROM w WHERE len(wd) >= 3
+), tg AS (
+  SELECT unnest(list_transform(range(1, len(wd)-1), i -> wd[i]))   AS w1,
+         unnest(list_transform(range(1, len(wd)-1), i -> wd[i+1])) AS w2,
+         unnest(list_transform(range(1, len(wd)-1), i -> wd[i+2])) AS w3
+  FROM w3v
+), c123r AS (
+  SELECT w1, w2, w3, count(*) AS c FROM tg GROUP BY w1, w2, w3
+), n34c AS (
+  SELECT w2 AS w3, w3 AS w4, CAST(count(*) AS BIGINT) AS n34c
+  FROM c123r GROUP BY w2, w3
+), ctx2 AS (
+  SELECT w3, CAST(sum(n34c) AS BIGINT) AS n3c,
+         CAST(count(*) AS BIGINT) AS n2f
+  FROM n34c GROUP BY w3
+), w2v AS (
+  SELECT wd FROM w WHERE len(wd) >= 2
+), bgr AS (
+  SELECT unnest(list_transform(range(1, len(wd)), i -> wd[i])) AS w1,
+         unnest(list_transform(range(1, len(wd)), i -> wd[i+1])) AS w2
+  FROM w2v
+), cbg AS (
+  SELECT w1, w2, count(*) AS c FROM bgr GROUP BY w1, w2
+), rgt AS (
+  SELECT w2 AS w4, CAST(count(*) AS BIGINT) AS n1b FROM cbg GROUP BY w2
+), t AS (
+  SELECT CAST(count(*) AS BIGINT) AS tt FROM cbg
+), j AS (
+  -- staged per-level HALF_UP rounding (ngram_lm.py kn_fourgram_probs):
+  -- each backoff level emits integer 1e-9 units before composing, so no
+  -- intermediate exceeds ~4*count*1e9 (the single-rational common
+  -- denominator overflows BIGINT at modest corpora)
+  SELECT c.w1, c.w2, c.w3, c.w4, c.c1234,
+    x4.c123, x4.n4f, m3.n234c, x3.n23c, x3.n3f, m2.n34c, x2.n3c, x2.n2f,
+    r.n1b, t.tt
+  FROM c1234 c
+  JOIN ctx4 x4 ON c.w1 = x4.w1 AND c.w2 = x4.w2 AND c.w3 = x4.w3
+  JOIN n234c m3 ON c.w2 = m3.w2 AND c.w3 = m3.w3 AND c.w4 = m3.w4
+  JOIN ctx3 x3 ON c.w2 = x3.w2 AND c.w3 = x3.w3
+  JOIN n34c m2 ON c.w3 = m2.w3 AND c.w4 = m2.w4
+  JOIN ctx2 x2 ON c.w3 = x2.w3
+  JOIN rgt r ON c.w4 = r.w4, t
+), s1 AS (
+  SELECT *, (n1b * 1000000000) // tt
+         + (CASE WHEN 2 * ((n1b * 1000000000) % tt) >= tt THEN 1 ELSE 0 END)
+         AS pc_e9
+  FROM j
+), s2 AS (
+  SELECT *, (greatest(4*n34c - 3, 0) * 1000000000 + 3 * n2f * pc_e9) // (4 * n3c)
+         + (CASE WHEN 2 * ((greatest(4*n34c - 3, 0) * 1000000000 + 3 * n2f * pc_e9) % (4 * n3c)) >= 4 * n3c
+            THEN 1 ELSE 0 END) AS p2c_e9
+  FROM s1
+), s3 AS (
+  SELECT *, (greatest(4*n234c - 3, 0) * 1000000000 + 3 * n3f * p2c_e9) // (4 * n23c)
+         + (CASE WHEN 2 * ((greatest(4*n234c - 3, 0) * 1000000000 + 3 * n3f * p2c_e9) % (4 * n23c)) >= 4 * n23c
+            THEN 1 ELSE 0 END) AS p3c_e9
+  FROM s2
+)
+SELECT w1, w2, w3, w4, c1234,
+  CAST((greatest(4*c1234 - 3, 0) * 1000000000 + 3 * n4f * p3c_e9) // (4 * c123)
+       + (CASE WHEN 2 * ((greatest(4*c1234 - 3, 0) * 1000000000 + 3 * n4f * p3c_e9) % (4 * c123)) >= 4 * c123
+          THEN 1 ELSE 0 END)
+    AS BIGINT) AS p_kn_e9
+FROM s3 ORDER BY c1234 DESC, w1, w2, w3, w4 LIMIT 100
+"""
+
+
 # ---------------------------------------------------------------------------
 # Group I (round 4) — URL canonicalization, paragraph dedup, inverted index,
 # hashed linear classifier
@@ -3728,7 +3839,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_report_hll": q_corpus_report_hll,
     "lm_doc_perplexity": q_lm_doc_perplexity,
     "curate_corpus_v5": q_curate_corpus_v5,
-    # -- positions 34-50: load-bearing backfill (2+ rounds green) --
+    "kn_4gram_lm": q_kn_4gram_lm,
+    # -- positions 35-50: load-bearing backfill (2+ rounds green) --
     "log_parse_fields": q_log_parse_fields,
     "log_parse_errors": q_log_parse_errors,
     "log_extract_text": q_log_extract_text,
@@ -3873,4 +3985,5 @@ ORACLES: dict[str, str] = {
     "corpus_report_hll": SQL_CORPUS_REPORT_HLL,
     "lm_doc_perplexity": SQL_LM_DOC_PERPLEXITY,
     "curate_corpus_v5": SQL_CURATE_CORPUS_V5,
+    "kn_4gram_lm": SQL_KN_4GRAM_LM,
 }

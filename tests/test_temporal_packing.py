@@ -294,3 +294,90 @@ def test_kn_trigram_probs_sum_to_context_mass(spark):
         n_per_ctx[(r["w1"], r["w2"])] += 1
     for k, s in ctx.items():
         assert s <= 10**9 + n_per_ctx[k], (k, s)
+
+
+def test_kn_fourgram_brute_force(spark):
+    """kn_fourgram_probs against an independent pure-Python
+    reimplementation of the staged-rounding KN backoff chain, computed
+    from raw token lists (all five count relations re-derived with
+    dict/Counter arithmetic) on a corpus with real 4-gram repeats."""
+    from collections import Counter
+
+    from logprocessor_spark.operators.ngram_lm import kn_fourgram_probs
+
+    texts = [
+        "a b c d a b c d e",
+        "b c d e f a b c",
+        "a b c e d a b",
+        "c d a b c d",
+        "e f a b c d e f",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+
+    toks = [t.split() for t in texts]
+    c1234 = Counter(
+        (w[i], w[i + 1], w[i + 2], w[i + 3])
+        for w in toks for i in range(len(w) - 3)
+    )
+    c123r = Counter(
+        (w[i], w[i + 1], w[i + 2]) for w in toks for i in range(len(w) - 2)
+    )
+    cbg = Counter((w[i], w[i + 1]) for w in toks for i in range(len(w) - 1))
+    ctx4_c, ctx4_n = Counter(), Counter()
+    for (w1, w2, w3, w4), c in c1234.items():
+        ctx4_c[(w1, w2, w3)] += c
+        ctx4_n[(w1, w2, w3)] += 1
+    n234c = Counter()
+    for (w1, w2, w3, w4) in c1234:
+        n234c[(w2, w3, w4)] += 1
+    ctx3_c, ctx3_n = Counter(), Counter()
+    for (w2, w3, w4), c in n234c.items():
+        ctx3_c[(w2, w3)] += c
+        ctx3_n[(w2, w3)] += 1
+    n34c = Counter()
+    for (w1, w2, w3) in c123r:
+        n34c[(w2, w3)] += 1
+    ctx2_c, ctx2_n = Counter(), Counter()
+    for (w3, w4), c in n34c.items():
+        ctx2_c[w3] += c
+        ctx2_n[w3] += 1
+    n1b = Counter()
+    for (w1, w2) in cbg:
+        n1b[w2] += 1
+    tt = len(cbg)
+
+    def half_up(num, den):
+        q, r = divmod(num, den)
+        return q + (1 if 2 * r >= den else 0)
+
+    def expected(w1, w2, w3, w4):
+        pc = half_up(n1b[w4] * 10**9, tt)
+        p2c = half_up(
+            max(4 * n34c[(w3, w4)] - 3, 0) * 10**9 + 3 * ctx2_n[w3] * pc,
+            4 * ctx2_c[w3],
+        )
+        p3c = half_up(
+            max(4 * n234c[(w2, w3, w4)] - 3, 0) * 10**9
+            + 3 * ctx3_n[(w2, w3)] * p2c,
+            4 * ctx3_c[(w2, w3)],
+        )
+        return half_up(
+            max(4 * c1234[(w1, w2, w3, w4)] - 3, 0) * 10**9
+            + 3 * ctx4_n[(w1, w2, w3)] * p3c,
+            4 * ctx4_c[(w1, w2, w3)],
+        )
+
+    rows = {
+        (r["w1"], r["w2"], r["w3"], r["w4"]): r
+        for r in kn_fourgram_probs(docs).collect()
+    }
+    assert set(rows) == set(c1234)
+    for g, r in rows.items():
+        assert r["c1234"] == c1234[g], g
+        assert r["p_kn_e9"] == expected(*g), g
+    assert all(0 < r["p_kn_e9"] <= 10**9 for r in rows.values())
+    # the repeated 4-gram (a b c d) must dominate its alternatives
+    assert c1234[("a", "b", "c", "d")] >= 3
+    assert rows[("a", "b", "c", "d")]["p_kn_e9"] > rows[("a", "b", "c", "e")]["p_kn_e9"]
