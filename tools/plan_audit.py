@@ -395,6 +395,28 @@ def main() -> None:
         "partial_count" in p and "BroadcastHashJoin" in p,
     )
 
+    # LM perplexity scoring: the gram->model lookup must be a broadcast
+    # join (the model is broadcast-sized by contract) and the whole score
+    # must stay expression-side — no Python evaluation anywhere
+    p = plan_of(harness.q_lm_doc_perplexity(spark, sf_dir))
+    check(
+        "lm_doc_perplexity: broadcast LM lookup, zero Python eval",
+        "BroadcastHashJoin" in p and "BatchEvalPython" not in p
+        and "ArrowEvalPython" not in p,
+        f"bhj={p.count('BroadcastHashJoin')}",
+    )
+
+    # 4-gram KN: five count relations join back on gram keys; the stat
+    # relations must broadcast (they are aggregates of the same corpus,
+    # small at gate SF) or sort-merge — either way no nested loop, no
+    # Python, and the 4-gram explode happens once
+    p = plan_of(harness.q_kn_4gram_lm(spark, sf_dir))
+    check(
+        "kn_4gram_lm: join-back plan, zero Python eval, top-k",
+        "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        and "TakeOrderedAndProject" in p,
+    )
+
     # sweep: NO registered query may compile to an unguarded cartesian /
     # BroadcastNestedLoopJoin plan. Two deliberate exceptions:
     #  - near_dup_embeddings: the all-pairs verification twin, count-guarded
