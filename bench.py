@@ -66,6 +66,9 @@ HEADLINE = [
     "pq_ann_topk",          # product-quantization ADC top-k (r4)
     "ivfpq_topk",           # IVF + residual-PQ probe search (r4)
     "cms_heavy_hitters",    # count-min sketch heavy hitters (r4)
+    "lm_doc_perplexity",    # CCNet LM scoring: train + score + bucket (r5)
+    "curate_corpus_v5",     # CCNet chain: para dedup -> lang -> LM filter (r5)
+    "kn_4gram_lm",          # order-4 KN LM, staged integer emission (r5)
 ]
 
 

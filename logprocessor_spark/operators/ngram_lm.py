@@ -366,3 +366,129 @@ def kn_fourgram_probs(
         F.lit(DISCOUNT_DEN) * F.col("c123"),
     )
     return j.select("w1", "w2", "w3", "w4", "c1234", p_e9.alias("p_kn_e9"))
+
+
+def ngram_counts(df: DataFrame, k: int, text_col: str = "text") -> DataFrame:
+    """(w1..wk, c) — positional k-gram counts for any k >= 1."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = df.select(split_words(F.col(text_col)).alias("__w")).where(
+        F.size("__w") >= k
+    )
+    fields = lambda i: [  # noqa: E731
+        F.try_element_at(F.col("__w"), (i + j).cast("int")).alias(f"w{j + 1}")
+        for j in range(k)
+    ]
+    grams = w.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__w") - (k - 1)),
+                lambda i: F.struct(*fields(i)),
+            )
+        ).alias("g")
+    ).select(*[F.col(f"g.w{j + 1}") for j in range(k)])
+    return grams.groupBy(*[f"w{j + 1}" for j in range(k)]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+
+
+def kn_ngram_probs(
+    df: DataFrame,
+    order: int,
+    text_col: str = "text",
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """(w1..w{order}, c, p_kn_e9): interpolated Kneser-Ney probabilities
+    for ANY order >= 2 with staged per-level integer emission — the
+    generalization of ``kn_fourgram_probs``'s recursion; order=5 is the
+    CCNet/KenLM-grade model.
+
+    Level structure for model order n (Chen-Goodman convention, the one
+    the hand-built orders 2-4 use): the top level reads raw n-gram
+    counts; each level k in n-1..2 reads continuation counts N1+(. s)
+    for the k-gram suffix s, derived from the RAW (k+1)-gram relation;
+    the base is the bigram continuation distribution n1b/T. Emission is
+    staged HALF_UP at integer 1e-9 units per level (see
+    ``kn_fourgram_probs`` for the overflow analysis: every intermediate
+    stays under ~4*count*1e9, so any order survives corpora where no
+    single count exceeds ~2.3e9).
+
+    Parity contract: for order 4 this produces BIT-IDENTICAL output to
+    ``kn_fourgram_probs`` (pytest-asserted); for orders 2-3 it differs
+    from the exact-rational forms by < 2 units at 1e-9 (staged vs single
+    rounding — also pytest-bounded). Use the exact forms when the
+    emission must match their SQL oracles; use this for order >= 4.
+
+    Scale shape: one explode per k in {2..n} (narrow), then
+    partial-aggregatable groupBys over short string keys; 2(n-1) stat
+    relations join back on gram-suffix keys — broadcast when small,
+    sort-merge otherwise; T is one collected scalar.
+    """
+    if order < 2:
+        raise ValueError(f"order must be >= 2, got {order}")
+    n = order
+    raws: dict[int, DataFrame] = {
+        k: ngram_counts(df, k, text_col).persist() for k in range(2, n + 1)
+    }
+    if cache_registry is not None:
+        cache_registry.extend(raws.values())
+
+    def suffix_cols(k: int) -> list[str]:
+        """Model positions covered by the level-k suffix: w{n-k+1}..w{n}."""
+        return [f"w{j}" for j in range(n - k + 1, n + 1)]
+
+    # top level: raw context totals + distinct continuations
+    top_key = [f"w{j}" for j in range(1, n)]
+    ctx_top = raws[n].groupBy(*top_key).agg(
+        F.sum("c").cast("bigint").alias("ctx_c_top"),
+        F.count(F.lit(1)).cast("bigint").alias("nf_top"),
+    )
+    j = raws[n].join(ctx_top, top_key)
+    # continuation levels k = n-1 .. 2: N1+(. suffix_k) from raw (k+1)-grams,
+    # whose LAST k columns w2..w{k+1} are the suffix — rename into model
+    # position space before joining
+    for k in range(n - 1, 1, -1):
+        raw_k1 = raws[k + 1]
+        sfx = suffix_cols(k)
+        renamed = raw_k1.select(
+            *[F.col(f"w{j2 + 2}").alias(sfx[j2]) for j2 in range(k)]
+        )
+        cont = renamed.groupBy(*sfx).agg(
+            F.count(F.lit(1)).cast("bigint").alias(f"n_{k}")
+        )
+        ctx = cont.groupBy(*sfx[:-1]).agg(
+            F.sum(f"n_{k}").cast("bigint").alias(f"ctx_c_{k}"),
+            F.count(F.lit(1)).cast("bigint").alias(f"nf_{k}"),
+        )
+        j = j.join(cont, sfx).join(ctx, sfx[:-1])
+    # base: bigram continuation distribution on w{n}
+    n1b = raws[2].groupBy(F.col("w2").alias(f"w{n}")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1b")
+    )
+    t_types = raws[2].count()
+    j = j.join(n1b, f"w{n}")
+
+    def _half_up(num: "F.Column", den: "F.Column") -> "F.Column":
+        q = F.call_function("div", num, den)
+        r = F.call_function("pmod", num, den)
+        return (q + F.when(F.lit(2) * r >= den, 1).otherwise(0)).cast("bigint")
+
+    def _disc(c: "F.Column") -> "F.Column":
+        return F.greatest(
+            F.lit(DISCOUNT_DEN) * c - F.lit(DISCOUNT_NUM),
+            F.lit(0).cast("bigint"),
+        )
+
+    e9 = F.lit(1_000_000_000).cast("bigint")
+    p = _half_up(F.col("n1b") * e9, F.lit(int(t_types)).cast("bigint"))
+    for k in range(2, n):
+        p = _half_up(
+            _disc(F.col(f"n_{k}")) * e9 + F.lit(DISCOUNT_NUM) * F.col(f"nf_{k}") * p,
+            F.lit(DISCOUNT_DEN) * F.col(f"ctx_c_{k}"),
+        )
+    p = _half_up(
+        _disc(F.col("c")) * e9 + F.lit(DISCOUNT_NUM) * F.col("nf_top") * p,
+        F.lit(DISCOUNT_DEN) * F.col("ctx_c_top"),
+    )
+    out_cols = [f"w{j2}" for j2 in range(1, n + 1)]
+    return j.select(*out_cols, "c", p.alias("p_kn_e9"))
