@@ -2857,6 +2857,131 @@ FROM s3 ORDER BY c1234 DESC, w1, w2, w3, w4 LIMIT 100
 """
 
 
+def q_kn_5gram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney 5-GRAM LM — the order CCNet's KenLM
+    filter actually runs — via the generic order-N builder
+    (operators/ngram_lm.py kn_ngram_probs): raw top level, three
+    continuation levels (each from the raw (k+1)-gram relation), bigram
+    continuation base, staged integer 1e-9 emission per level. The
+    oracle re-derives all seven count relations and the four-stage
+    composition bit-for-bit. Top 100 5-grams by count, lexicographic
+    ties."""
+    from .operators.ngram_lm import kn_ngram_probs
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        kn_ngram_probs(d, order=5)
+        .orderBy(F.desc("c"), "w1", "w2", "w3", "w4", "w5")
+        .limit(100)
+    )
+
+
+SQL_KN_5GRAM_LM = r"""
+WITH w AS (
+  SELECT string_split_regex(trim(lower(text)), '\s+') AS wd FROM documents
+), g5 AS (
+  SELECT unnest(list_transform(range(1, len(wd)-3), i -> wd[i]))   AS w1,
+         unnest(list_transform(range(1, len(wd)-3), i -> wd[i+1])) AS w2,
+         unnest(list_transform(range(1, len(wd)-3), i -> wd[i+2])) AS w3,
+         unnest(list_transform(range(1, len(wd)-3), i -> wd[i+3])) AS w4,
+         unnest(list_transform(range(1, len(wd)-3), i -> wd[i+4])) AS w5
+  FROM w WHERE len(wd) >= 5
+), c5 AS (
+  SELECT w1, w2, w3, w4, w5, CAST(count(*) AS BIGINT) AS c
+  FROM g5 GROUP BY w1, w2, w3, w4, w5
+), ctx5 AS (
+  SELECT w1, w2, w3, w4, CAST(sum(c) AS BIGINT) AS ctx_c_top,
+         CAST(count(*) AS BIGINT) AS nf_top
+  FROM c5 GROUP BY w1, w2, w3, w4
+), n4 AS (
+  SELECT w2, w3, w4, w5, CAST(count(*) AS BIGINT) AS n_4
+  FROM c5 GROUP BY w2, w3, w4, w5
+), ctx4 AS (
+  SELECT w2, w3, w4, CAST(sum(n_4) AS BIGINT) AS ctx_c_4,
+         CAST(count(*) AS BIGINT) AS nf_4
+  FROM n4 GROUP BY w2, w3, w4
+), g4 AS (
+  SELECT unnest(list_transform(range(1, len(wd)-2), i -> wd[i]))   AS a1,
+         unnest(list_transform(range(1, len(wd)-2), i -> wd[i+1])) AS a2,
+         unnest(list_transform(range(1, len(wd)-2), i -> wd[i+2])) AS a3,
+         unnest(list_transform(range(1, len(wd)-2), i -> wd[i+3])) AS a4
+  FROM w WHERE len(wd) >= 4
+), c4r AS (
+  SELECT a1, a2, a3, a4, count(*) AS c FROM g4 GROUP BY a1, a2, a3, a4
+), n3 AS (
+  SELECT a2 AS w3, a3 AS w4, a4 AS w5, CAST(count(*) AS BIGINT) AS n_3
+  FROM c4r GROUP BY a2, a3, a4
+), ctx3 AS (
+  SELECT w3, w4, CAST(sum(n_3) AS BIGINT) AS ctx_c_3,
+         CAST(count(*) AS BIGINT) AS nf_3
+  FROM n3 GROUP BY w3, w4
+), g3 AS (
+  SELECT unnest(list_transform(range(1, len(wd)-1), i -> wd[i]))   AS a1,
+         unnest(list_transform(range(1, len(wd)-1), i -> wd[i+1])) AS a2,
+         unnest(list_transform(range(1, len(wd)-1), i -> wd[i+2])) AS a3
+  FROM w WHERE len(wd) >= 3
+), c3r AS (
+  SELECT a1, a2, a3, count(*) AS c FROM g3 GROUP BY a1, a2, a3
+), n2 AS (
+  SELECT a2 AS w4, a3 AS w5, CAST(count(*) AS BIGINT) AS n_2
+  FROM c3r GROUP BY a2, a3
+), ctx2 AS (
+  SELECT w4, CAST(sum(n_2) AS BIGINT) AS ctx_c_2,
+         CAST(count(*) AS BIGINT) AS nf_2
+  FROM n2 GROUP BY w4
+), g2 AS (
+  SELECT unnest(list_transform(range(1, len(wd)), i -> wd[i]))   AS a1,
+         unnest(list_transform(range(1, len(wd)), i -> wd[i+1])) AS a2
+  FROM w WHERE len(wd) >= 2
+), c2r AS (
+  SELECT a1, a2, count(*) AS c FROM g2 GROUP BY a1, a2
+), rgt AS (
+  SELECT a2 AS w5, CAST(count(*) AS BIGINT) AS n1b FROM c2r GROUP BY a2
+), t AS (
+  SELECT CAST(count(*) AS BIGINT) AS tt FROM c2r
+), p1 AS (
+  -- staged emission bottom-up (ngram_lm.py kn_ngram_probs): each level
+  -- is a small keyed relation joined to the next; composing level by
+  -- level keeps every join 2-3 relations with explicit keys (a single
+  -- flat 9-way join invites catastrophic join-order misestimates)
+  SELECT w5, (n1b * 1000000000) // tt
+       + (CASE WHEN 2 * ((n1b * 1000000000) % tt) >= tt THEN 1 ELSE 0 END)
+       AS p
+  FROM rgt, t
+), p2 AS (
+  SELECT n2.w4, n2.w5,
+    (greatest(4*n2.n_2 - 3, 0) * 1000000000 + 3 * x.nf_2 * p1.p) // (4 * x.ctx_c_2)
+    + (CASE WHEN 2 * ((greatest(4*n2.n_2 - 3, 0) * 1000000000 + 3 * x.nf_2 * p1.p) % (4 * x.ctx_c_2)) >= 4 * x.ctx_c_2
+       THEN 1 ELSE 0 END) AS p
+  FROM n2 JOIN ctx2 x ON n2.w4 = x.w4 JOIN p1 ON n2.w5 = p1.w5
+), p3 AS (
+  SELECT n3.w3, n3.w4, n3.w5,
+    (greatest(4*n3.n_3 - 3, 0) * 1000000000 + 3 * x.nf_3 * p2.p) // (4 * x.ctx_c_3)
+    + (CASE WHEN 2 * ((greatest(4*n3.n_3 - 3, 0) * 1000000000 + 3 * x.nf_3 * p2.p) % (4 * x.ctx_c_3)) >= 4 * x.ctx_c_3
+       THEN 1 ELSE 0 END) AS p
+  FROM n3 JOIN ctx3 x ON n3.w3 = x.w3 AND n3.w4 = x.w4
+          JOIN p2 ON n3.w4 = p2.w4 AND n3.w5 = p2.w5
+), p4 AS (
+  SELECT n4.w2, n4.w3, n4.w4, n4.w5,
+    (greatest(4*n4.n_4 - 3, 0) * 1000000000 + 3 * x.nf_4 * p3.p) // (4 * x.ctx_c_4)
+    + (CASE WHEN 2 * ((greatest(4*n4.n_4 - 3, 0) * 1000000000 + 3 * x.nf_4 * p3.p) % (4 * x.ctx_c_4)) >= 4 * x.ctx_c_4
+       THEN 1 ELSE 0 END) AS p
+  FROM n4 JOIN ctx4 x ON n4.w2 = x.w2 AND n4.w3 = x.w3 AND n4.w4 = x.w4
+          JOIN p3 ON n4.w3 = p3.w3 AND n4.w4 = p3.w4 AND n4.w5 = p3.w5
+)
+SELECT c.w1, c.w2, c.w3, c.w4, c.w5, c.c,
+  CAST((greatest(4*c.c - 3, 0) * 1000000000 + 3 * x.nf_top * p4.p) // (4 * x.ctx_c_top)
+       + (CASE WHEN 2 * ((greatest(4*c.c - 3, 0) * 1000000000 + 3 * x.nf_top * p4.p) % (4 * x.ctx_c_top)) >= 4 * x.ctx_c_top
+          THEN 1 ELSE 0 END)
+    AS BIGINT) AS p_kn_e9
+FROM c5 c
+JOIN ctx5 x ON c.w1 = x.w1 AND c.w2 = x.w2 AND c.w3 = x.w3 AND c.w4 = x.w4
+JOIN p4 ON c.w2 = p4.w2 AND c.w3 = p4.w3 AND c.w4 = p4.w4 AND c.w5 = p4.w5
+ORDER BY c.c DESC, c.w1, c.w2, c.w3, c.w4, c.w5 LIMIT 100
+
+"""
+
+
 # ---------------------------------------------------------------------------
 # Group I (round 4) — URL canonicalization, paragraph dedup, inverted index,
 # hashed linear classifier
@@ -3840,7 +3965,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_doc_perplexity": q_lm_doc_perplexity,
     "curate_corpus_v5": q_curate_corpus_v5,
     "kn_4gram_lm": q_kn_4gram_lm,
-    # -- positions 35-50: load-bearing backfill (2+ rounds green) --
+    "kn_5gram_lm": q_kn_5gram_lm,
+    # -- positions 36-50: load-bearing backfill (2+ rounds green) --
     "log_parse_fields": q_log_parse_fields,
     "log_parse_errors": q_log_parse_errors,
     "log_extract_text": q_log_extract_text,
@@ -3986,4 +4112,5 @@ ORACLES: dict[str, str] = {
     "lm_doc_perplexity": SQL_LM_DOC_PERPLEXITY,
     "curate_corpus_v5": SQL_CURATE_CORPUS_V5,
     "kn_4gram_lm": SQL_KN_4GRAM_LM,
+    "kn_5gram_lm": SQL_KN_5GRAM_LM,
 }

@@ -381,3 +381,51 @@ def test_kn_fourgram_brute_force(spark):
     # the repeated 4-gram (a b c d) must dominate its alternatives
     assert c1234[("a", "b", "c", "d")] >= 3
     assert rows[("a", "b", "c", "d")]["p_kn_e9"] > rows[("a", "b", "c", "e")]["p_kn_e9"]
+
+
+def test_kn_ngram_generic_matches_specific_orders(spark):
+    """The generic order-N builder against the hand-built orders: order 4
+    must be BIT-IDENTICAL to kn_fourgram_probs (same staged emission —
+    two independent constructions of the same chain), and orders 2-3 must
+    sit within 2 units at 1e-9 of the exact-rational forms (staged
+    rounding's documented bound: 0.5/level attenuated by <= 3/4)."""
+    import pytest as _pt
+
+    from logprocessor_spark.operators.ngram_lm import (
+        kn_bigram_probs,
+        kn_fourgram_probs,
+        kn_ngram_probs,
+        kn_trigram_probs,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d a b c d e"), (1, "b c d e f a b c"),
+         (2, "a b c e d a b"), (3, "c d a b c d"), (4, "e f a b c d e f")],
+        "doc_id long, text string",
+    )
+    g4 = {
+        (r["w1"], r["w2"], r["w3"], r["w4"]): (r["c"], r["p_kn_e9"])
+        for r in kn_ngram_probs(docs, order=4).collect()
+    }
+    s4 = {
+        (r["w1"], r["w2"], r["w3"], r["w4"]): (r["c1234"], r["p_kn_e9"])
+        for r in kn_fourgram_probs(docs).collect()
+    }
+    assert g4 == s4
+    for order, exact_fn, cnt_col in (
+        (2, kn_bigram_probs, "c12"),
+        (3, kn_trigram_probs, "c123"),
+    ):
+        gen = {
+            tuple(r[f"w{j}"] for j in range(1, order + 1)): r["p_kn_e9"]
+            for r in kn_ngram_probs(docs, order=order).collect()
+        }
+        exact = {
+            tuple(r[f"w{j}"] for j in range(1, order + 1)): r["p_kn_e9"]
+            for r in exact_fn(docs).collect()
+        }
+        assert gen.keys() == exact.keys()
+        deltas = [abs(gen[k] - exact[k]) for k in gen]
+        assert max(deltas) <= 2, (order, max(deltas))
+    with _pt.raises(ValueError, match="order"):
+        kn_ngram_probs(docs, order=1)
