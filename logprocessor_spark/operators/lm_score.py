@@ -90,45 +90,53 @@ def score_documents(
     id_col: str = "doc_id",
     prob_col: str = "p_kn_e9",
     floor_e9: int = 1,
+    order: int = 2,
 ) -> DataFrame:
-    """Per-document bigram LM cost: (doc_id, n_bigrams, nll_sum_fx16,
-    avg_nll_fx16). ``lm`` is any (w1, w2, <prob_col>) relation —
-    ``kn_bigram_probs`` output, or an imported table (``import_arpa``):
-    the scorer is the seam where a pretrained model plugs in.
+    """Per-document n-gram LM cost: (doc_id, n_bigrams, nll_sum_fx16,
+    avg_nll_fx16). ``lm`` is any (w1..w{order}, <prob_col>) relation —
+    ``kn_bigram_probs``/``kn_ngram_probs`` output (order=5 is the CCNet/
+    KenLM-grade configuration), or an imported table (``import_arpa``):
+    the scorer is the seam where a pretrained model plugs in. The
+    ``n_bigrams`` column name is kept across orders (it counts scored
+    gram positions) so downstream bucketing is order-agnostic.
 
-    Bigrams absent from the model cost ``-log2(floor_e9 * 1e-9)`` — the
+    Grams absent from the model cost ``-log2(floor_e9 * 1e-9)`` — the
     unknown-gram floor (KenLM's <unk> backstop collapsed to a constant;
-    floor_e9=1 -> ~29.9 bits). Documents with fewer than 2 tokens have no
-    bigrams and are NOT emitted (callers gate short docs separately —
-    quality_features has them covered).
+    floor_e9=1 -> ~29.9 bits). Documents with fewer than ``order`` tokens
+    have no grams and are NOT emitted (callers gate short docs separately
+    — quality_features has them covered).
 
     avg_nll_fx16 = HALF_UP(nll_sum / n_bigrams), exact integer division
     on non-negative operands. Perplexity = 2^(avg_nll_fx16 / 65536).
 
-    Scale shape: the doc-side explode is narrow; the (w1, w2) join
+    Scale shape: the doc-side explode is narrow; the gram-key join
     broadcasts while the model fits (hint applied below a row-count
     guard is the caller's call — Catalyst/AQE picks correctly from
     stats); one groupBy(doc_id) ends the plan.
     """
     if floor_e9 < 1 or floor_e9 > 1_000_000_000:
         raise ValueError(f"floor_e9 must be in [1, 1e9], got {floor_e9}")
+    if order < 2:
+        raise ValueError(f"order must be >= 2, got {order}")
+    keys = [f"w{j}" for j in range(1, order + 1)]
     w = docs.select(
         F.col(id_col).alias("doc_id"), split_words(F.col(text_col)).alias("__w")
-    ).where(F.size("__w") >= 2)
+    ).where(F.size("__w") >= order)
+    fields = lambda i: [  # noqa: E731
+        F.try_element_at(F.col("__w"), (i + j).cast("int")).alias(f"w{j + 1}")
+        for j in range(order)
+    ]
     grams = w.select(
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.size("__w") - 1),
-                lambda i: F.struct(
-                    F.try_element_at(F.col("__w"), i.cast("int")).alias("w1"),
-                    F.try_element_at(F.col("__w"), (i + 1).cast("int")).alias("w2"),
-                ),
+                F.sequence(F.lit(1), F.size("__w") - (order - 1)),
+                lambda i: F.struct(*fields(i)),
             )
         ).alias("bg"),
-    ).select("doc_id", "bg.w1", "bg.w2")
+    ).select("doc_id", *[F.col(f"bg.{k}") for k in keys])
     joined = grams.join(
-        lm.select("w1", "w2", F.col(prob_col).alias("__p")), ["w1", "w2"], "left"
+        lm.select(*keys, F.col(prob_col).alias("__p")), keys, "left"
     )
     # greatest(..., 1): a true probability below 5e-10 rounds to 0 in the
     # model's 1e-9 integer units (possible once c1*T > 1.5e9) — clamp to

@@ -317,3 +317,55 @@ def stream_dedup_canonical_url(
     return s.withWatermark(watermark_col, watermark).dropDuplicatesWithinWatermark(
         ["url_canon"]
     )
+
+
+def stream_lm_gate(
+    docs_stream: DataFrame,
+    lm: DataFrame,
+    max_avg_nll_fx16: int,
+    out_path: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    order: int = 2,
+    floor_e9: int = 1,
+    available_now: bool = True,
+):
+    """Streaming CCNet LM gate: score each micro-batch's documents
+    against a STATIC pretrained LM relation (``kn_*_probs`` output or an
+    ``import_arpa`` table) and keep those at or below a fixed cost
+    cutoff — ``bucket_by_thresholds``' scan-side contract bound to a
+    stream, i.e. exactly how CCNet deploys its filter (cutoffs are
+    precomputed constants, the model never changes mid-run).
+
+    ``foreachBatch`` is the binding because the score needs a
+    groupBy(doc_id) over the exploded grams: as a direct streaming
+    aggregation that would be update-mode stateful for no reason — every
+    document lives entirely inside one micro-batch, so batch-scoring the
+    micro-batch (same ``score_documents`` code as batch mode, one
+    logical pipeline) is both simpler and state-free. The LM relation is
+    re-used across batches; callers should ``.persist()`` it once.
+
+    Emits (id_col, n_bigrams, avg_nll_fx16) parquet rows for survivors.
+    At-least-once on retry (standard foreachBatch file-sink caveat, same
+    as ``stream_dedup_against_index``). Returns the StreamingQuery."""
+    from ..operators.lm_score import bucket_by_thresholds, score_documents
+
+    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+        scored = score_documents(
+            batch_df, lm, text_col=text_col, id_col=id_col,
+            floor_e9=floor_e9, order=order,
+        )
+        kept = (
+            bucket_by_thresholds(scored, max_avg_nll_fx16, max_avg_nll_fx16)
+            .where(F.col("ppl_bucket") <= 1)
+            .select(F.col("doc_id").alias(id_col), "n_bigrams", "avg_nll_fx16")
+        )
+        kept.write.mode("append").parquet(out_path)
+
+    writer = docs_stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -175,3 +175,29 @@ def test_classifier_trained_weights_seam(spark, docs):
     assert "Exchange" not in plan
     with pytest.raises(ValueError, match="length dim"):
         hashed_linear_score(docs, weights=[1, 2, 3])
+
+
+def test_score_documents_higher_order(spark, docs):
+    """order=5 scoring against the order-5 model (CCNet configuration):
+    training on the scored corpus itself means every gram is in-model,
+    so the per-doc gram count must equal the positional 5-gram count and
+    every per-gram cost is < the unseen floor; an order-2 unrelated
+    model floors everything."""
+    from logprocessor_spark.operators.ngram_lm import kn_ngram_probs
+
+    texts = [(10, "v w x y z v w x y z v w"), (11, "p q r s t u p q r s")]
+    corpus = spark.createDataFrame(texts, ["doc_id", "text"])
+    lm5 = kn_ngram_probs(corpus, order=5)
+    scored = {r.doc_id: r for r in score_documents(corpus, lm5, order=5).collect()}
+    toks = {i: t.split() for i, t in texts}
+    for i in (10, 11):
+        n_pos = len(toks[i]) - 4
+        assert scored[i].n_bigrams == n_pos
+        # all grams in-model -> strictly cheaper than all-floor
+        assert scored[i].nll_sum_fx16 < n_pos * LOG2_1E9_FX16
+    with pytest.raises(ValueError, match="order"):
+        score_documents(corpus, lm5, order=1)
+    # an unrelated bigram model floors every gram
+    other = spark.createDataFrame([("zz", "qq", 500_000_000)], ["w1", "w2", "p_kn_e9"])
+    floored = {r.doc_id: r for r in score_documents(corpus, other, order=2).collect()}
+    assert floored[10].nll_sum_fx16 == floored[10].n_bigrams * LOG2_1E9_FX16

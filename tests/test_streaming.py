@@ -293,3 +293,52 @@ def test_stream_dedup_canonical_url(spark, tmp_path):
     got = spark.sql("SELECT url_canon, count(*) c FROM urldedup_t GROUP BY 1").collect()
     canon = {r["url_canon"]: r["c"] for r in got}
     assert canon == {"https://a.com/p": 1, "https://b.com/q": 1}
+
+
+def test_stream_lm_gate_matches_batch(spark, tmp_path):
+    """The streaming LM gate must keep exactly the documents the batch
+    score + fixed-threshold bucket keeps, across multiple micro-batches
+    (maxFilesPerTrigger=1 forces >1 batch, proving the gate is stateless
+    per micro-batch as designed)."""
+    from logprocessor_spark.operators.lm_score import (
+        bucket_by_thresholds,
+        score_documents,
+    )
+    from logprocessor_spark.operators.ngram_lm import kn_bigram_probs
+    from logprocessor_spark.streaming.pipeline import stream_lm_gate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    lm = kn_bigram_probs(docs.where("doc_id % 2 = 0")).persist()
+    batch_scored = score_documents(docs, lm)
+    # cutoff = the median-ish score so the gate genuinely splits the corpus
+    cutoff = int(
+        batch_scored.approxQuantile("avg_nll_fx16", [0.5], 0.0)[0]
+    )
+    want = {
+        (r.doc_id, r.n_bigrams, r.avg_nll_fx16)
+        for r in bucket_by_thresholds(batch_scored, cutoff, cutoff)
+        .where("ppl_bucket <= 1")
+        .select("doc_id", "n_bigrams", "avg_nll_fx16")
+        .collect()
+    }
+    assert 0 < len(want) < batch_scored.count()
+
+    src_dir = str(tmp_path / "src")
+    docs.repartition(3).write.parquet(src_dir)  # 3 files -> 3 micro-batches
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = stream_lm_gate(stream, lm, cutoff, out_dir, ckpt)
+    q.awaitTermination(120)
+    got = {
+        (r.doc_id, r.n_bigrams, r.avg_nll_fx16)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == want
+    lm.unpersist()
