@@ -3981,8 +3981,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_ngram_pairs": q_dedup_ngram_pairs,
     "cosine_topk": q_cosine_topk,
-    "ann_lsh_topk": q_ann_lsh_topk,
+    # ann_ivf_topk BEFORE ann_lsh_topk: the IVF oracle is new this round
+    # (deterministic quantizer) and needs its first driver row; the LSH
+    # query has two rounds of green history to spare
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
     "curate_corpus": q_curate_corpus,
     "text_stats": q_text_stats,
     "asof_join_events": q_asof_join_events,
