@@ -3923,11 +3923,13 @@ def q_ivfpq_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exactly the FIRST 50 dict entries in rounds 3 and 4 (evidence in
 # VERDICT.md r4), so the 30 queries registered after position 50 never
 # received a driver row. Positions 1-30 below are those 30
-# never-driver-checked queries; positions 31-50 backfill with the most
-# load-bearing queries (parse/route/dedup/ANN family, all with 2+
-# rounds of green driver history). The 30 queries now at positions
-# 51-80 all have two rounds of green driver CORRECTNESS rows
-# (CORRECTNESS_r03/r04) — nothing loses its only hard signal.
+# never-driver-checked queries; 31-35 are this round's new queries plus
+# the round-5-closed IVF oracle (zero driver history, must be inside
+# the window); 36-50 backfill with the most load-bearing queries
+# (parse/route/dedup family, all with 2+ rounds of green driver
+# history). The 35 queries at positions 51-85 all have two rounds of
+# green driver CORRECTNESS rows (CORRECTNESS_r03/r04) — nothing loses
+# its only hard signal.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- positions 1-30: never driver-checked before round 5 --
     "repetition_stats": q_repetition_stats,
@@ -3960,13 +3962,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "hll_registers": q_hll_registers,
     "hll_distinct": q_hll_distinct,
-    # -- positions 31-33: new in round 5 (inside the gate window) --
+    # -- positions 31-35: new in round 5 (inside the gate window; the
+    # list below also pulls ann_ivf_topk forward to position 50 — its
+    # oracle is round-5 new even though the query predates it) --
     "corpus_report_hll": q_corpus_report_hll,
     "lm_doc_perplexity": q_lm_doc_perplexity,
     "curate_corpus_v5": q_curate_corpus_v5,
     "kn_4gram_lm": q_kn_4gram_lm,
     "kn_5gram_lm": q_kn_5gram_lm,
-    # -- positions 36-50: load-bearing backfill (2+ rounds green) --
+    # -- positions 36+: load-bearing backfill (2+ rounds green); the
+    # gate window closes after position 50 = ann_ivf_topk, so
+    # ann_lsh_topk onward (51-85) rely on their r03/r04 green rows --
     "log_parse_fields": q_log_parse_fields,
     "log_parse_errors": q_log_parse_errors,
     "log_extract_text": q_log_extract_text,

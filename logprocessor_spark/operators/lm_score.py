@@ -151,11 +151,9 @@ def score_documents(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.sum(cost).cast("long").alias("nll_sum_fx16"),
     )
-    q = F.call_function("div", F.col("nll_sum_fx16"), F.col("n_bigrams"))
-    r = F.call_function("pmod", F.col("nll_sum_fx16"), F.col("n_bigrams"))
-    avg = (q + F.when(F.lit(2) * r >= F.col("n_bigrams"), 1).otherwise(0)).cast(
-        "long"
-    )
+    from .ngram_lm import _half_up
+
+    avg = _half_up(F.col("nll_sum_fx16"), F.col("n_bigrams")).cast("long")
     return agg.select(
         "doc_id", "n_bigrams", "nll_sum_fx16", avg.alias("avg_nll_fx16")
     )
@@ -238,4 +236,8 @@ def import_arpa(spark, path: str) -> DataFrame:
             p_e9 = round((10.0 ** lp) * 1e9)
             p_e9 = max(1, min(1_000_000_000, int(p_e9)))
             rows.append((toks[0], toks[1], p_e9))
-    return spark.createDataFrame(rows, ["w1", "w2", "p_kn_e9"])
+    # explicit schema: a unigram-only ARPA (or one whose 2-gram rows are
+    # all malformed) yields zero rows, and schema inference would raise
+    # on the empty list — an empty LM relation is the correct result
+    # (every gram then scores the floor), not a crash
+    return spark.createDataFrame(rows, "w1 string, w2 string, p_kn_e9 long")

@@ -42,6 +42,25 @@ DISCOUNT_NUM = 3  # d = 3/4: keeps all arithmetic integral
 DISCOUNT_DEN = 4
 
 
+def _half_up(num, den):
+    """HALF_UP(num/den) on non-negative BIGINT columns, no headroom
+    doubling (quotient + remainder test) — THE rounding primitive every
+    staged KN emission and the LM scorer's average depend on; one
+    definition so the pytest-asserted cross-implementation bit-identity
+    cannot drift."""
+    q = F.call_function("div", num, den)
+    r = F.call_function("pmod", num, den)
+    return (q + F.when(F.lit(2) * r >= den, 1).otherwise(0)).cast("bigint")
+
+
+def _disc(c):
+    """max(4*c - 3, 0): the d=3/4 absolute-discount numerator."""
+    return F.greatest(
+        F.lit(DISCOUNT_DEN) * c - F.lit(DISCOUNT_NUM),
+        F.lit(0).cast("bigint"),
+    )
+
+
 def bigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(w1, w2, c12) — corpus bigram counts (positional, multiset)."""
     w = df.select(split_words(F.col(text_col)).alias("__w")).where(
@@ -338,19 +357,6 @@ def kn_fourgram_probs(
     )
     t = F.lit(int(t_types))
 
-    def _half_up(num: "F.Column", den: "F.Column") -> "F.Column":
-        """HALF_UP(num/den) on non-negative BIGINTs, no headroom doubling
-        (quotient + remainder test, the harness LM pattern)."""
-        q = F.call_function("div", num, den)
-        r = F.call_function("pmod", num, den)
-        return (q + F.when(F.lit(2) * r >= den, 1).otherwise(0)).cast("bigint")
-
-    def _disc(c: "F.Column") -> "F.Column":
-        return F.greatest(
-            F.lit(DISCOUNT_DEN) * c - F.lit(DISCOUNT_NUM),
-            F.lit(0).cast("bigint"),
-        )
-
     e9 = F.lit(1_000_000_000).cast("bigint")
     pc_e9 = _half_up(F.col("n1b") * e9, t.cast("bigint"))
     p2c_e9 = _half_up(
@@ -467,17 +473,6 @@ def kn_ngram_probs(
     )
     t_types = raws[2].count()
     j = j.join(n1b, f"w{n}")
-
-    def _half_up(num: "F.Column", den: "F.Column") -> "F.Column":
-        q = F.call_function("div", num, den)
-        r = F.call_function("pmod", num, den)
-        return (q + F.when(F.lit(2) * r >= den, 1).otherwise(0)).cast("bigint")
-
-    def _disc(c: "F.Column") -> "F.Column":
-        return F.greatest(
-            F.lit(DISCOUNT_DEN) * c - F.lit(DISCOUNT_NUM),
-            F.lit(0).cast("bigint"),
-        )
 
     e9 = F.lit(1_000_000_000).cast("bigint")
     p = _half_up(F.col("n1b") * e9, F.lit(int(t_types)).cast("bigint"))

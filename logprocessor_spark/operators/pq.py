@@ -133,19 +133,21 @@ def train_pq_codebook(
     broadcast table. Empty clusters keep their previous center. At corpus
     scale train on ``train_fraction`` — centroids converge long before
     10^12 rows are seen."""
+    from .dedup import md5_token_hash
+
     spark = emb.sparkSession
     train = emb if train_fraction >= 1.0 else emb.sample(train_fraction, seed=7)
-    h = F.conv(
-        F.substring(F.md5(F.encode(F.col(id_col).cast("string"), "UTF-8")), 1, 15),
-        16,
-        10,
-    ).cast("long")
+    h = md5_token_hash(F.col(id_col).cast("string"))
     seeds = (
         train.select(F.col(id_col), F.col("embedding"))
         .orderBy(h.asc(), F.col(id_col).asc())
         .limit(k)
         .collect()
     )
+    if len(seeds) < k:
+        raise ValueError(
+            f"train_pq_codebook needs >= k={k} training vectors, got {len(seeds)}"
+        )
     cents = {
         (s, kk): [float(seeds[kk][1][s * ds + d]) for d in range(ds)]
         for s in range(m)

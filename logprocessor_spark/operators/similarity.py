@@ -523,20 +523,21 @@ def ivf_build_deterministic(
     broadcast-join argmin of ``operators/pq.ivf_assign`` (64-term
     left-associated fold, bit-identical across engines); the corpus is
     written partitioned by list_id so probes prune partitions."""
+    from .dedup import md5_token_hash
     from .pq import ivf_assign
 
     spark = emb.sparkSession
-    h = F.conv(
-        F.substring(F.md5(F.encode(F.col(id_col).cast("string"), "UTF-8")), 1, 15),
-        16,
-        10,
-    ).cast("long")
+    h = md5_token_hash(F.col(id_col).cast("string"))
     crows = (
         emb.select(F.col(id_col), F.col(vec_col))
         .orderBy(h.asc(), F.col(id_col).asc())
         .limit(k)
         .collect()
     )
+    if len(crows) < k:
+        raise ValueError(
+            f"ivf_build_deterministic needs >= k={k} vectors, got {len(crows)}"
+        )
     centers = [[float(x) for x in r[1]] for r in crows]
     dim = len(centers[0])
     coarse = spark.createDataFrame(

@@ -100,6 +100,7 @@ def cms_heavy_hitters(
     text_col: str = "text",
     depth: int = CMS_DEPTH,
     width: int = CMS_WIDTH,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """(token, est) for every distinct token whose CMS estimate reaches
     ``threshold``, heaviest first (ties lexicographic). est ≥ true count
@@ -118,7 +119,12 @@ def cms_heavy_hitters(
     tokens). The output is identical to enumerating the full vocabulary —
     the gate is exact, not a heuristic — but the corpus-wide token
     distinct() that a naive probe needs never happens."""
+    # the grid feeds d+1 consumers (hot-bucket gates + estimation), so it
+    # persists; long-lived sessions pass cache_registry and unpersist the
+    # handle once materialized — same contract as kn_*_probs
     sketch = cms_build(docs, text_col, depth, width).persist()
+    if cache_registry is not None:
+        cache_registry.append(sketch)
     hot = sketch.where(F.col("cnt") >= threshold)
     occ = docs.select(
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("token")
