@@ -69,6 +69,7 @@ HEADLINE = [
     "lm_doc_perplexity",    # CCNet LM scoring: train + score + bucket (r5)
     "curate_corpus_v5",     # CCNet chain: para dedup -> lang -> LM filter (r5)
     "kn_4gram_lm",          # order-4 KN LM, staged integer emission (r5)
+    "bloom_crawl_probe",    # packed-bitset recrawl gate, zero-shuffle probe (r5)
 ]
 
 

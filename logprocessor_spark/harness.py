@@ -3361,6 +3361,54 @@ FROM documents WHERE (doc_id % 200) % 7 <> 0
 """
 
 
+def q_bloom_crawl_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter recrawl gate (operators/sketch.py bloom_build/
+    bloom_probe): the filter is built over the already-crawled half of
+    the URL space (even doc_ids) and every URL probes it scan-side —
+    the Common-Crawl-scale "skip what we already fetched" primitive.
+    The salted-md5 bit positions are exactly SQL-re-derivable, so the
+    oracle rebuilds the filter AND every membership verdict bit-for-bit
+    — including the false positives, which are a deterministic property
+    of this (hash family, m, k, key set), not noise. No false negatives
+    by construction (pytest-asserted too)."""
+    from .operators.sketch import bloom_build, bloom_probe
+
+    d = _t(spark, sf_dir, "documents")
+    urls = d.select(
+        "doc_id",
+        F.format_string(
+            "https://host%03d.example.com/d/%d",
+            (F.col("doc_id") % 200).cast("int"),
+            F.col("doc_id"),
+        ).alias("url"),
+    )
+    members = urls.where(F.col("doc_id") % 2 == 0)
+    bloom = bloom_build(members, "url")
+    return bloom_probe(urls, bloom, "url").select("doc_id", "url", "maybe_member")
+
+
+_BLOOM_SQL_BIT = (
+    "(('0x' || substr(md5('b{r}:' || {key}), 1, 15))::BIGINT % 4096)"
+)
+
+SQL_BLOOM_CRAWL_PROBE = f"""
+WITH urls AS (
+  SELECT doc_id,
+         printf('https://host%03d.example.com/d/%d', CAST(doc_id % 200 AS INT), doc_id) AS url
+  FROM documents
+), bits AS (
+  SELECT DISTINCT unnest([
+    {", ".join(_BLOOM_SQL_BIT.format(r=r, key="url") for r in range(4))}
+  ]) AS bit
+  FROM urls WHERE doc_id % 2 = 0
+)
+SELECT u.doc_id, u.url,
+  ({" AND ".join(_BLOOM_SQL_BIT.format(r=r, key="u.url") + " IN (SELECT bit FROM bits)" for r in range(4))})
+  AS maybe_member
+FROM urls u
+"""
+
+
 SEARCH_TERMS = ["merge", "spark", "window"]
 TFIDF_TERMS = ["dup", "spark", "table"]
 
@@ -3970,12 +4018,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_corpus_v5": q_curate_corpus_v5,
     "kn_4gram_lm": q_kn_4gram_lm,
     "kn_5gram_lm": q_kn_5gram_lm,
+    "bloom_crawl_probe": q_bloom_crawl_probe,
     # -- positions 36+: load-bearing backfill (2+ rounds green); the
     # gate window closes after position 50 = ann_ivf_topk, so
     # ann_lsh_topk onward (51-85) rely on their r03/r04 green rows --
     "log_parse_fields": q_log_parse_fields,
     "log_parse_errors": q_log_parse_errors,
-    "log_extract_text": q_log_extract_text,
     "log_route_counts": q_log_route_counts,
     "log_routed_rows": q_log_routed_rows,
     "log_quarantine": q_log_quarantine,
@@ -3992,6 +4040,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # query has two rounds of green history to spare
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "log_extract_text": q_log_extract_text,
     "curate_corpus": q_curate_corpus,
     "text_stats": q_text_stats,
     "asof_join_events": q_asof_join_events,
@@ -4122,4 +4171,5 @@ ORACLES: dict[str, str] = {
     "curate_corpus_v5": SQL_CURATE_CORPUS_V5,
     "kn_4gram_lm": SQL_KN_4GRAM_LM,
     "kn_5gram_lm": SQL_KN_5GRAM_LM,
+    "bloom_crawl_probe": SQL_BLOOM_CRAWL_PROBE,
 }

@@ -208,3 +208,113 @@ def hll_estimate(
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
     ).otherwise(raw)
     return agg.select(*by, F.round(est, 2).alias("n_distinct_est"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970): mergeable set-membership sketch — the crawl
+# pipeline's "have we already fetched/kept this URL (or shingle)?"
+# primitive (Gopher's and Common-Crawl-scale dedup stacks gate recrawls
+# with exactly this structure). Same portable salted-md5 hash family as
+# the CMS, so every bit position — and therefore every membership answer
+# — has an exact SQL twin: a hash-gate-checkable probabilistic filter.
+
+BLOOM_K = 4        # hash functions
+BLOOM_M = 4096     # bits
+
+
+def _bloom_bit(key: Column, row: int, m_bits: int) -> Column:
+    """Portable bit position: md5('b<row>:' || key) first 15 hex chars
+    mod m — DuckDB twin:
+    ``('0x' || substr(md5('b<row>:' || key), 1, 15))::BIGINT % m``.
+    The 'b' salt prefix keeps the family disjoint from the CMS rows."""
+    salted = F.concat(F.lit(f"b{row}:"), key)
+    h = F.conv(F.substring(F.md5(F.encode(salted, "UTF-8")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    return h % m_bits
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str,
+    k: int = BLOOM_K,
+    m_bits: int = BLOOM_M,
+) -> DataFrame:
+    """(bit,) — the set bit positions of a Bloom filter over the
+    distinct values of ``keys[key_col]`` (NULL keys are ignored — NULL
+    is "no key", not a member). ≤ m rows regardless of corpus size, so
+    the filter broadcasts; merging two corpora's filters is a plain
+    union+distinct on the same positions (bitwise OR in table form).
+
+    Scale shape: one narrow k-way posexplode per key then a distinct on
+    ≤ m values — map-side combinable to ≤ m rows per task before any
+    exchange."""
+    return (
+        keys.where(F.col(key_col).isNotNull())
+        .select(
+            F.explode(
+                F.array(*[_bloom_bit(F.col(key_col), r, m_bits) for r in range(k)])
+            ).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_pack(bloom: DataFrame, m_bits: int = BLOOM_M) -> list[int]:
+    """Collect the set-bit relation into the packed m/64-long bitset a
+    Bloom filter actually IS (m=4096 -> 64 longs = 512 bytes). Driver-
+    side by design: the filter is the compact value you ship to every
+    worker; collecting ≤ m rows is the build's final, bounded step.
+    Words are signed-64 so they round-trip as Spark longs."""
+    if m_bits % 64 != 0:
+        raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
+    words = [0] * (m_bits // 64)
+    for r in bloom.select("bit").collect():
+        b = int(r["bit"])
+        if not 0 <= b < m_bits:
+            raise ValueError(f"bit {b} out of range for m_bits={m_bits}")
+        words[b >> 6] |= 1 << (b & 63)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom: "DataFrame | list[int]",
+    key_col: str,
+    k: int = BLOOM_K,
+    m_bits: int = BLOOM_M,
+) -> DataFrame:
+    """Adds ``maybe_member``: true iff ALL k of the key's bit positions
+    are set. No false negatives (a built key always probes true); false
+    positives at the standard (1 - e^{-kn/m})^k rate — the caller
+    verifies positives exactly if exactness matters, which is the Bloom
+    contract (probe-to-skip, never probe-to-assert).
+
+    Scale shape: the packed bitset (``bloom_pack``; a DataFrame is
+    packed here) rides along as ONE array literal and each row tests its
+    k bits with shift/mask expressions — zero joins, zero shuffle, O(1)
+    per probe, fuses into whatever scan follows. Rows with NULL keys
+    return maybe_member = false."""
+    words = bloom_pack(bloom, m_bits) if isinstance(bloom, DataFrame) else bloom
+    if len(words) != m_bits // 64:
+        raise ValueError(
+            f"packed filter has {len(words)} words, expected {m_bits // 64}"
+        )
+    wl = F.lit(words)
+
+    def bit_set(bit: Column) -> Column:
+        word = F.element_at(wl, (F.call_function("div", bit, F.lit(64)) + 1).cast("int"))
+        return (
+            F.call_function(
+                "shiftrightunsigned", word, F.pmod(bit, F.lit(64)).cast("int")
+            ).bitwiseAND(F.lit(1))
+            == 1
+        )
+
+    tests = [
+        bit_set(_bloom_bit(F.col(key_col), r, m_bits)) for r in range(k)
+    ]
+    member = tests[0]
+    for t in tests[1:]:
+        member = member & t
+    return df.withColumn("maybe_member", F.coalesce(member, F.lit(False)))

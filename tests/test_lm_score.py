@@ -201,3 +201,51 @@ def test_score_documents_higher_order(spark, docs):
     other = spark.createDataFrame([("zz", "qq", 500_000_000)], ["w1", "w2", "p_kn_e9"])
     floored = {r.doc_id: r for r in score_documents(corpus, other, order=2).collect()}
     assert floored[10].nll_sum_fx16 == floored[10].n_bigrams * LOG2_1E9_FX16
+
+
+def test_import_arpa_empty_and_malformed(spark, docs, tmp_path):
+    """A unigram-only ARPA (no 2-grams section) imports as an EMPTY LM
+    relation — every gram then scores the floor — rather than crashing
+    on schema inference."""
+    arpa = tmp_path / "uni.arpa"
+    arpa.write_text(
+        "\\data\\\nngram 1=2\n\n\\1-grams:\n-0.5\ta\n-0.7\tb\n\n\\end\\\n",
+        encoding="utf-8",
+    )
+    lm = import_arpa(spark, str(arpa))
+    assert lm.count() == 0
+    assert lm.columns == ["w1", "w2", "p_kn_e9"]
+    scored = {r.doc_id: r for r in score_documents(docs, lm).collect()}
+    assert scored[1].nll_sum_fx16 == scored[1].n_bigrams * LOG2_1E9_FX16
+
+
+def test_bloom_filter_contract(spark):
+    """Bloom: no false negatives ever; FP rate in the expected regime;
+    merge = union+distinct equals build-of-union; NULL keys are neither
+    members nor matchable."""
+    from logprocessor_spark.operators.sketch import bloom_build, bloom_probe
+
+    members = spark.range(0, 300).select(
+        F.format_string("url-%d", F.col("id")).alias("u")
+    )
+    others = spark.range(300, 1300).select(
+        F.format_string("url-%d", F.col("id")).alias("u")
+    )
+    bloom = bloom_build(members, "u")
+    assert bloom.count() <= 4096
+    probed_m = bloom_probe(members, bloom, "u")
+    assert probed_m.where("NOT maybe_member").count() == 0  # no false negatives
+    fp = bloom_probe(others, bloom, "u").where("maybe_member").count()
+    # n=300, k=4, m=4096 -> (1-e^{-kn/m})^4 ~ 0.0042; give 5x slack
+    assert fp <= 1000 * 0.021, fp
+    # mergeability
+    a = bloom_build(members, "u")
+    b = bloom_build(others, "u")
+    merged = a.union(b).distinct()
+    direct = bloom_build(members.union(others), "u")
+    assert {r.bit for r in merged.collect()} == {r.bit for r in direct.collect()}
+    # NULL keys
+    with_null = spark.createDataFrame([("url-1",), (None,)], ["u"])
+    assert bloom_build(with_null, "u").count() == 4  # only the non-null key
+    pr = {r.u: r.maybe_member for r in bloom_probe(with_null, bloom, "u").collect()}
+    assert pr["url-1"] is True and pr[None] is False

@@ -417,6 +417,17 @@ def main() -> None:
         and "TakeOrderedAndProject" in p,
     )
 
+    # Bloom probe: the filter is a packed literal bitset and the k bit
+    # tests are shift/mask expressions — the probe plan must be a pure
+    # scan-side projection: ZERO exchanges, zero joins, zero Python
+    p = plan_of(harness.q_bloom_crawl_probe(spark, sf_dir))
+    check(
+        "bloom_crawl_probe: zero-exchange scan-side probe",
+        "Exchange" not in p and "Join" not in p
+        and "BatchEvalPython" not in p,
+        f"exchanges={p.count('Exchange')}",
+    )
+
     # sweep: NO registered query may compile to an unguarded cartesian /
     # BroadcastNestedLoopJoin plan. Two deliberate exceptions:
     #  - near_dup_embeddings: the all-pairs verification twin, count-guarded
