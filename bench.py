@@ -70,6 +70,7 @@ HEADLINE = [
     "curate_corpus_v5",     # CCNet chain: para dedup -> lang -> LM filter (r5)
     "kn_4gram_lm",          # order-4 KN LM, staged integer emission (r5)
     "bloom_crawl_probe",    # packed-bitset recrawl gate, zero-shuffle probe (r5)
+    "bm25_topk",            # integer-exact Okapi BM25 ranking (r5)
 ]
 
 

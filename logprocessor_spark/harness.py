@@ -3469,6 +3469,59 @@ ORDER BY score DESC, p.doc_id ASC LIMIT 25
 """
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k (operators/textindex.py bm25_topk): k1=6/5,
+    b=3/4, log2-based idf, all arithmetic in BIGINT 16.16 fixed point —
+    the exact ranking treatment (vs tfidf_topk's round(6) float ln).
+    The oracle re-derives postings, df, dl, the two corpus scalars, the
+    bit-length idf, and every HALF_UP term score bit-for-bit."""
+    from .operators.textindex import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk(d, TFIDF_TERMS, k=25)
+
+
+SQL_BM25_TOPK = f"""
+WITH tokl AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), dl AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tokl
+), scal AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS tl FROM dl
+), tok AS (
+  SELECT doc_id, unnest(toks) AS token FROM tokl
+), p AS (
+  SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tok
+  WHERE token IN ({", ".join(repr(t) for t in sorted(set(TFIDF_TERMS)))})
+  GROUP BY 1, 2
+), dfr AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY token
+), idf AS (
+  -- idf_fx16 = log2_fx16(2N+2) - log2_fx16(2df+1), bit-length form
+  SELECT token,
+    ((length(bin(2*s.n + 2)) - 2) * 65536
+      + ((2*s.n + 2) * 65536) // (1::BIGINT << (length(bin(2*s.n + 2)) - 1)))
+    - ((length(bin(2*df + 1)) - 2) * 65536
+      + ((2*df + 1) * 65536) // (1::BIGINT << (length(bin(2*df + 1)) - 1)))
+    AS idf_fx
+  FROM dfr, scal s
+), t AS (
+  SELECT p.doc_id,
+    (i.idf_fx * 22 * p.tf * s.tl) AS num,
+    (10 * p.tf * s.tl + 3 * s.tl + 9 * d.dl * s.n) AS den
+  FROM p JOIN idf i USING (token) JOIN dl d USING (doc_id), scal s
+)
+SELECT doc_id,
+  CAST(sum(num // den + (CASE WHEN 2 * (num % den) >= den THEN 1 ELSE 0 END))
+    AS BIGINT) AS bm25_fx16,
+  CAST(count(*) AS BIGINT) AS n_terms
+FROM t GROUP BY doc_id
+ORDER BY bm25_fx16 DESC, doc_id ASC LIMIT 25
+"""
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick linear classifier inference (functions/classifier.py):
     integer-exact hashed-feature dot product per document, keep/drop gate.
@@ -4019,13 +4072,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kn_4gram_lm": q_kn_4gram_lm,
     "kn_5gram_lm": q_kn_5gram_lm,
     "bloom_crawl_probe": q_bloom_crawl_probe,
+    "bm25_topk": q_bm25_topk,
     # -- positions 36+: load-bearing backfill (2+ rounds green); the
     # gate window closes after position 50 = ann_ivf_topk, so
     # ann_lsh_topk onward (51-85) rely on their r03/r04 green rows --
     "log_parse_fields": q_log_parse_fields,
     "log_parse_errors": q_log_parse_errors,
     "log_route_counts": q_log_route_counts,
-    "log_routed_rows": q_log_routed_rows,
     "log_quarantine": q_log_quarantine,
     "log_enrich_geo": q_log_enrich_geo,
     "log_point_lookup": q_log_point_lookup,
@@ -4041,6 +4094,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "log_extract_text": q_log_extract_text,
+    "log_routed_rows": q_log_routed_rows,
     "curate_corpus": q_curate_corpus,
     "text_stats": q_text_stats,
     "asof_join_events": q_asof_join_events,
@@ -4172,4 +4226,5 @@ ORACLES: dict[str, str] = {
     "kn_4gram_lm": SQL_KN_4GRAM_LM,
     "kn_5gram_lm": SQL_KN_5GRAM_LM,
     "bloom_crawl_probe": SQL_BLOOM_CRAWL_PROBE,
+    "bm25_topk": SQL_BM25_TOPK,
 }

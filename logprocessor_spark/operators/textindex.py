@@ -109,3 +109,89 @@ def tfidf_topk(
         )
     )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k docs by Okapi BM25 over ``terms`` — INTEGER-EXACT, so the
+    ranking hash-gates across engines (``tfidf_topk``'s float ln() +
+    round(6) works at small magnitudes; BM25's length normalization
+    deserves the exact treatment the LM family already uses).
+
+    Rational parameterization: k1 = 6/5, b = 3/4, idf in log2 (a
+    constant factor off the traditional ln — ranking-invariant):
+
+        idf_fx16(t) = log2_fx16(2N+2) - log2_fx16(2·df(t)+1)
+                      [= log2((N+1)/(df+0.5)) in 16.16 fixed point]
+        score(t,d)  = HALF_UP(idf_fx16 · 22·tf·TL,
+                              10·tf·TL + 3·TL + 9·dl·N)
+        bm25_fx16(d) = Σ_t score(t,d)
+
+    where dl = |d| in tokens, N = corpus docs, TL = corpus tokens (so
+    avgdl = TL/N never becomes a float: the k1/b algebra is cleared to
+    the common denominator 10·TL). BIGINT headroom: idf_fx16·22·tf·TL
+    must stay under 2^63 — holds while tf·TL < ~2e11 (gate SFs are ~1e7;
+    a web-scale run emits the raw tf/df/dl relations and scores at query
+    time, the same deferred-division contract as the KN tables).
+
+    Scale shape: the term filter is pushed to the postings scan; df and
+    the N/TL scalars are tiny (df broadcasts, scalars collect driver-side
+    — two ints); dl is a narrow scan-side projection of the corpus
+    joined to candidates on doc_id (AQE broadcasts the candidate side);
+    top-k is TakeOrderedAndProject. Ties break on doc_id asc."""
+    from .ngram_lm import _half_up
+
+    terms = sorted(set(terms))
+
+    def log2_fx16_int(v: int) -> int:
+        b = v.bit_length()
+        return (b - 2) * 65536 + (v * 65536) // (1 << (b - 1))
+
+    dl_rel = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.filter(tokens_of(text_col), lambda t: t != ""))
+        .cast("long")
+        .alias("dl"),
+    )
+    scal = dl_rel.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("tl")
+    ).first()
+    n_docs, tl = int(scal["n"]), int(scal["tl"])
+    idf_base = log2_fx16_int(2 * n_docs + 2)
+    postings = build_postings(docs, text_col, id_col).where(
+        F.col("token").isin(terms)
+    )
+    df_rel = document_frequency(postings)
+    # idf per token: bit-length form of log2_fx16 on (2*df+1)
+    dfc = F.lit(2) * F.col("df") + F.lit(1)
+    b = F.length(F.bin(dfc))
+    frac = F.call_function(
+        "div",
+        dfc * F.lit(65536).cast("long"),
+        F.call_function("shiftleft", F.lit(1).cast("long"), (b - F.lit(1)).cast("int")),
+    )
+    idf_fx = F.lit(idf_base) - ((b.cast("long") - F.lit(2)) * 65536 + frac)
+    scored = (
+        postings.join(F.broadcast(df_rel.withColumn("idf_fx", idf_fx)), "token")
+        .join(dl_rel, "doc_id")
+        .withColumn(
+            "term_fx",
+            _half_up(
+                F.col("idf_fx") * F.lit(22) * F.col("tf") * F.lit(tl),
+                F.lit(10) * F.col("tf") * F.lit(tl)
+                + F.lit(3) * F.lit(tl)
+                + F.lit(9) * F.col("dl") * F.lit(n_docs),
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("term_fx").cast("long").alias("bm25_fx16"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+    )
+    return scored.orderBy(F.desc("bm25_fx16"), F.asc("doc_id")).limit(k)

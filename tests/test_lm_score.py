@@ -249,3 +249,54 @@ def test_bloom_filter_contract(spark):
     assert bloom_build(with_null, "u").count() == 4  # only the non-null key
     pr = {r.u: r.maybe_member for r in bloom_probe(with_null, bloom, "u").collect()}
     assert pr["url-1"] is True and pr[None] is False
+
+
+def test_bm25_brute_force_and_ranking(spark):
+    """bm25_topk against a pure-Python twin of the integer formula, plus
+    the two Okapi behaviors the formula exists for: rare terms outweigh
+    common ones, and equal-tf shorter docs outrank longer ones."""
+    from logprocessor_spark.operators.textindex import bm25_topk
+
+    texts = {
+        1: "rare common common filler one",
+        2: "common filler filler filler filler filler filler filler",
+        3: "rare common filler",
+        4: "common common common common",
+    }
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    got = {r.doc_id: r for r in bm25_topk(docs, ["rare", "common"], k=10).collect()}
+
+    toks = {i: t.split() for i, t in texts.items()}
+    N = len(toks)
+    TL = sum(len(w) for w in toks.values())
+    df = {"rare": 2, "common": 4}
+
+    def lg(v):
+        b = v.bit_length()
+        return (b - 2) * 65536 + (v * 65536) // (1 << (b - 1))
+
+    def half_up(num, den):
+        q, r = divmod(num, den)
+        return q + (1 if 2 * r >= den else 0)
+
+    def score(i):
+        s = 0
+        for t in ("rare", "common"):
+            tf = toks[i].count(t)
+            if not tf:
+                continue
+            idf = lg(2 * N + 2) - lg(2 * df[t] + 1)
+            s += half_up(
+                idf * 22 * tf * TL,
+                10 * tf * TL + 3 * TL + 9 * len(toks[i]) * N,
+            )
+        return s
+
+    for i in texts:
+        assert got[i].bm25_fx16 == score(i), i
+    # rare-term doc with shorter length ranks top; common-only longest ranks low
+    order = sorted(got, key=lambda i: (-got[i].bm25_fx16, i))
+    assert order[0] == 3          # rare + shortest
+    assert got[3].bm25_fx16 > got[2].bm25_fx16
+    # same rare tf (docs 1 and 3): shorter doc 3 scores higher
+    assert got[3].bm25_fx16 > got[1].bm25_fx16
