@@ -2746,6 +2746,15 @@ FROM j ORDER BY c123 DESC, w1, w2, w3 LIMIT 100
 """
 
 
+# -log2(p) in 16.16 fixed point for integer-1e-9 probability column {p}:
+# bit-length integer part + one multiply-shift linear fraction — the
+# operators/lm_score.py log2_fx16 twin (1957078 = log2_fx16(1e9)).
+_SQL_NLL_FX16 = (
+    "1957078 - ((length(bin({p})) - 2) * 65536"
+    " + ({p} * 65536) // (1::BIGINT << (length(bin({p})) - 1)))"
+)
+
+
 def q_kn_4gram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney 4-GRAM LM statistics with backoff through
     the continuation-count trigram and bigram levels
@@ -2876,8 +2885,11 @@ def q_kn_5gram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_KN_5GRAM_LM = r"""
-WITH w AS (
+def _sql_kn_5gram_cte(src: str) -> str:
+    """CTE bodies g5..lm5 deriving the staged 5-gram KN relation
+    lm5(w1..w5, c, p_kn_e9) from relation ``src(text)`` — shared by the
+    kn_5gram_lm oracle and the 5-gram document-scoring oracle."""
+    return r"""w5src AS (
   SELECT string_split_regex(trim(lower(text)), '\s+') AS wd FROM documents
 ), g5 AS (
   SELECT unnest(list_transform(range(1, len(wd)-3), i -> wd[i]))   AS w1,
@@ -2885,7 +2897,7 @@ WITH w AS (
          unnest(list_transform(range(1, len(wd)-3), i -> wd[i+2])) AS w3,
          unnest(list_transform(range(1, len(wd)-3), i -> wd[i+3])) AS w4,
          unnest(list_transform(range(1, len(wd)-3), i -> wd[i+4])) AS w5
-  FROM w WHERE len(wd) >= 5
+  FROM lm5_w WHERE len(wd) >= 5
 ), c5 AS (
   SELECT w1, w2, w3, w4, w5, CAST(count(*) AS BIGINT) AS c
   FROM g5 GROUP BY w1, w2, w3, w4, w5
@@ -2905,7 +2917,7 @@ WITH w AS (
          unnest(list_transform(range(1, len(wd)-2), i -> wd[i+1])) AS a2,
          unnest(list_transform(range(1, len(wd)-2), i -> wd[i+2])) AS a3,
          unnest(list_transform(range(1, len(wd)-2), i -> wd[i+3])) AS a4
-  FROM w WHERE len(wd) >= 4
+  FROM lm5_w WHERE len(wd) >= 4
 ), c4r AS (
   SELECT a1, a2, a3, a4, count(*) AS c FROM g4 GROUP BY a1, a2, a3, a4
 ), n3 AS (
@@ -2919,7 +2931,7 @@ WITH w AS (
   SELECT unnest(list_transform(range(1, len(wd)-1), i -> wd[i]))   AS a1,
          unnest(list_transform(range(1, len(wd)-1), i -> wd[i+1])) AS a2,
          unnest(list_transform(range(1, len(wd)-1), i -> wd[i+2])) AS a3
-  FROM w WHERE len(wd) >= 3
+  FROM lm5_w WHERE len(wd) >= 3
 ), c3r AS (
   SELECT a1, a2, a3, count(*) AS c FROM g3 GROUP BY a1, a2, a3
 ), n2 AS (
@@ -2932,7 +2944,7 @@ WITH w AS (
 ), g2 AS (
   SELECT unnest(list_transform(range(1, len(wd)), i -> wd[i]))   AS a1,
          unnest(list_transform(range(1, len(wd)), i -> wd[i+1])) AS a2
-  FROM w WHERE len(wd) >= 2
+  FROM lm5_w WHERE len(wd) >= 2
 ), c2r AS (
   SELECT a1, a2, count(*) AS c FROM g2 GROUP BY a1, a2
 ), rgt AS (
@@ -2967,9 +2979,9 @@ WITH w AS (
     + (CASE WHEN 2 * ((greatest(4*n4.n_4 - 3, 0) * 1000000000 + 3 * x.nf_4 * p3.p) % (4 * x.ctx_c_4)) >= 4 * x.ctx_c_4
        THEN 1 ELSE 0 END) AS p
   FROM n4 JOIN ctx4 x ON n4.w2 = x.w2 AND n4.w3 = x.w3 AND n4.w4 = x.w4
-          JOIN p3 ON n4.w3 = p3.w3 AND n4.w4 = p3.w4 AND n4.w5 = p3.w5
-)
-SELECT c.w1, c.w2, c.w3, c.w4, c.w5, c.c,
+          JOIN p3 ON n4.w3 = p3.w3 AND n4.w4 = p3.w4 AND n4.w5 = p3.w5),
+lm5 AS (
+  SELECT c.w1, c.w2, c.w3, c.w4, c.w5, c.c,
   CAST((greatest(4*c.c - 3, 0) * 1000000000 + 3 * x.nf_top * p4.p) // (4 * x.ctx_c_top)
        + (CASE WHEN 2 * ((greatest(4*c.c - 3, 0) * 1000000000 + 3 * x.nf_top * p4.p) % (4 * x.ctx_c_top)) >= 4 * x.ctx_c_top
           THEN 1 ELSE 0 END)
@@ -2977,8 +2989,74 @@ SELECT c.w1, c.w2, c.w3, c.w4, c.w5, c.c,
 FROM c5 c
 JOIN ctx5 x ON c.w1 = x.w1 AND c.w2 = x.w2 AND c.w3 = x.w3 AND c.w4 = x.w4
 JOIN p4 ON c.w2 = p4.w2 AND c.w3 = p4.w3 AND c.w4 = p4.w4 AND c.w5 = p4.w5
-ORDER BY c.c DESC, c.w1, c.w2, c.w3, c.w4, c.w5 LIMIT 100
+)""".replace("documents", src).replace("lm5_w", "w5src")
 
+
+SQL_KN_5GRAM_LM = f"""
+WITH {_sql_kn_5gram_cte("documents")}
+SELECT w1, w2, w3, w4, w5, c, p_kn_e9
+FROM lm5 ORDER BY c DESC, w1, w2, w3, w4, w5 LIMIT 100
+"""
+
+
+def q_lm_doc_perplexity_5g(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet configuration EXACTLY: a 5-gram Kneser-Ney model
+    (KenLM's order) trained on the even-doc_id half of the corpus,
+    every document scored over its positional 5-grams (unseen grams —
+    most of the held-out half, as in any real perplexity filter — cost
+    the 1e-9 floor), head/middle/tail buckets. Composes the generic
+    order-N LM builder with the order-parameterized scorer; the oracle
+    composes the staged 5-gram SQL chain with a 5-gram scoring chain —
+    training, lookup, floor, fixed-point log2, HALF_UP averaging and
+    bucketing all hash-verified end to end."""
+    from .operators.lm_score import perplexity_buckets, score_documents
+    from .operators.ngram_lm import kn_ngram_probs
+
+    d = _t(spark, sf_dir, "documents")
+    lm = kn_ngram_probs(d.where(F.col("doc_id") % 2 == 0), order=5)
+    return perplexity_buckets(score_documents(d, lm, order=5))
+
+
+SQL_LM_DOC_PERPLEXITY_5G = f"""
+WITH lm_src AS (
+  SELECT text FROM documents WHERE doc_id % 2 = 0
+), {_sql_kn_5gram_cte("lm_src")},
+sc5_w AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS wd
+  FROM documents
+  WHERE len(string_split_regex(trim(lower(text)), '\\s+')) >= 5
+), sc5_g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(wd)-3), i -> wd[i]))   AS w1,
+         unnest(list_transform(range(1, len(wd)-3), i -> wd[i+1])) AS w2,
+         unnest(list_transform(range(1, len(wd)-3), i -> wd[i+2])) AS w3,
+         unnest(list_transform(range(1, len(wd)-3), i -> wd[i+3])) AS w4,
+         unnest(list_transform(range(1, len(wd)-3), i -> wd[i+4])) AS w5
+  FROM sc5_w
+), sc5_cost AS (
+  SELECT doc_id, {_SQL_NLL_FX16.format(p="p2")} AS nll
+  FROM (
+    SELECT g.doc_id, greatest(coalesce(m.p_kn_e9, 1::BIGINT), 1::BIGINT) AS p2
+    FROM sc5_g g LEFT JOIN lm5 m
+      ON g.w1 = m.w1 AND g.w2 = m.w2 AND g.w3 = m.w3
+     AND g.w4 = m.w4 AND g.w5 = m.w5
+  )
+), sc5_agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(nll) AS BIGINT) AS nll_sum_fx16
+  FROM sc5_cost GROUP BY doc_id
+), sc5_avg AS (
+  SELECT doc_id, n_bigrams, nll_sum_fx16,
+    CAST(nll_sum_fx16 // n_bigrams
+         + (CASE WHEN 2 * (nll_sum_fx16 % n_bigrams) >= n_bigrams
+            THEN 1 ELSE 0 END) AS BIGINT) AS avg_nll_fx16
+  FROM sc5_agg
+)
+SELECT doc_id, n_bigrams, nll_sum_fx16, avg_nll_fx16,
+  CAST(ntile(3) OVER (ORDER BY avg_nll_fx16, doc_id) AS INTEGER) AS ppl_bucket,
+  CASE ntile(3) OVER (ORDER BY avg_nll_fx16, doc_id)
+       WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_label
+FROM sc5_avg
 """
 
 
@@ -3164,13 +3242,6 @@ def _sql_kn_bigram_cte(src: str) -> str:
 )"""
 
 
-# -log2(p) in 16.16 fixed point for integer-1e-9 probability column {p}:
-# bit-length integer part + one multiply-shift linear fraction — the
-# operators/lm_score.py log2_fx16 twin (1957078 = log2_fx16(1e9)).
-_SQL_NLL_FX16 = (
-    "1957078 - ((length(bin({p})) - 2) * 65536"
-    " + ({p} * 65536) // (1::BIGINT << (length(bin({p})) - 1)))"
-)
 
 
 def _sql_lm_score_cte(docs: str, text_expr: str = "text") -> str:
@@ -4073,13 +4144,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kn_5gram_lm": q_kn_5gram_lm,
     "bloom_crawl_probe": q_bloom_crawl_probe,
     "bm25_topk": q_bm25_topk,
+    "lm_doc_perplexity_5g": q_lm_doc_perplexity_5g,
     # -- positions 36+: load-bearing backfill (2+ rounds green); the
     # gate window closes after position 50 = ann_ivf_topk, so
     # ann_lsh_topk onward (51-85) rely on their r03/r04 green rows --
     "log_parse_fields": q_log_parse_fields,
     "log_parse_errors": q_log_parse_errors,
     "log_route_counts": q_log_route_counts,
-    "log_quarantine": q_log_quarantine,
     "log_enrich_geo": q_log_enrich_geo,
     "log_point_lookup": q_log_point_lookup,
     "dedup_exact_keep": q_dedup_exact_keep,
@@ -4095,6 +4166,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "log_extract_text": q_log_extract_text,
     "log_routed_rows": q_log_routed_rows,
+    "log_quarantine": q_log_quarantine,
     "curate_corpus": q_curate_corpus,
     "text_stats": q_text_stats,
     "asof_join_events": q_asof_join_events,
@@ -4227,4 +4299,5 @@ ORACLES: dict[str, str] = {
     "kn_5gram_lm": SQL_KN_5GRAM_LM,
     "bloom_crawl_probe": SQL_BLOOM_CRAWL_PROBE,
     "bm25_topk": SQL_BM25_TOPK,
+    "lm_doc_perplexity_5g": SQL_LM_DOC_PERPLEXITY_5G,
 }
