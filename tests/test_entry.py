@@ -38,6 +38,9 @@ SUBSET = [
     "pii_redact",
     "repetition_stats",
     "pack_sequences",
+    "lm_doc_perplexity",
+    "bloom_crawl_probe",
+    "bm25_topk",
 ]
 
 
