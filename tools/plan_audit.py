@@ -417,6 +417,15 @@ def main() -> None:
         and "TakeOrderedAndProject" in p,
     )
 
+    # CCNet-exact configuration: the 5-gram scorer's model lookup joins
+    # on five gram columns — still broadcastable stats-side, zero Python
+    p = plan_of(harness.q_lm_doc_perplexity_5g(spark, sf_dir))
+    check(
+        "lm_doc_perplexity_5g: zero Python eval, no nested loop",
+        "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        and "CartesianProduct" not in p,
+    )
+
     # Bloom probe: the filter is a packed literal bitset and the k bit
     # tests are shift/mask expressions — the probe plan must be a pure
     # scan-side projection: ZERO exchanges, zero joins, zero Python
