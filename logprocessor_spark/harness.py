@@ -4095,13 +4095,14 @@ def q_ivfpq_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exactly the FIRST 50 dict entries in rounds 3 and 4 (evidence in
 # VERDICT.md r4), so the 30 queries registered after position 50 never
 # received a driver row. Positions 1-30 below are those 30
-# never-driver-checked queries; 31-35 are this round's new queries plus
-# the round-5-closed IVF oracle (zero driver history, must be inside
-# the window); 36-50 backfill with the most load-bearing queries
-# (parse/route/dedup family, all with 2+ rounds of green driver
-# history). The 35 queries at positions 51-85 all have two rounds of
-# green driver CORRECTNESS rows (CORRECTNESS_r03/r04) — nothing loses
-# its only hard signal.
+# never-driver-checked queries; 31-38 are this round's new queries
+# (corpus_report_hll, the LM family, bloom, bm25 — zero driver
+# history, must be inside the window); 39-50 backfill with the most
+# load-bearing queries (parse/route/dedup family, all with 2+ rounds
+# of green driver history), closing the window at position 50 =
+# ann_ivf_topk (whose ORACLE is round-5 new). The 38 queries at
+# positions 51-88 all have two rounds of green driver CORRECTNESS
+# rows (CORRECTNESS_r03/r04) — nothing loses its only hard signal.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- positions 1-30: never driver-checked before round 5 --
     "repetition_stats": q_repetition_stats,
@@ -4134,7 +4135,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "hll_registers": q_hll_registers,
     "hll_distinct": q_hll_distinct,
-    # -- positions 31-35: new in round 5 (inside the gate window; the
+    # -- positions 31-38: new in round 5 (inside the gate window; the
     # list below also pulls ann_ivf_topk forward to position 50 — its
     # oracle is round-5 new even though the query predates it) --
     "corpus_report_hll": q_corpus_report_hll,
@@ -4145,9 +4146,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_crawl_probe": q_bloom_crawl_probe,
     "bm25_topk": q_bm25_topk,
     "lm_doc_perplexity_5g": q_lm_doc_perplexity_5g,
-    # -- positions 36+: load-bearing backfill (2+ rounds green); the
+    # -- positions 39+: load-bearing backfill (2+ rounds green); the
     # gate window closes after position 50 = ann_ivf_topk, so
-    # ann_lsh_topk onward (51-85) rely on their r03/r04 green rows --
+    # ann_lsh_topk onward (51-88) rely on their r03/r04 green rows --
     "log_parse_fields": q_log_parse_fields,
     "log_parse_errors": q_log_parse_errors,
     "log_route_counts": q_log_route_counts,

@@ -36,14 +36,23 @@ CMS_DEPTH = 4      # d independent hash rows
 CMS_WIDTH = 512    # w buckets per row
 
 
+def _salted_bucket(key: Column, salt: str, modulus: int) -> Column:
+    """THE portable salted hash bucket both sketch families use:
+    md5(salt || key) first 15 hex chars mod ``modulus`` — DuckDB twin:
+    ``('0x' || substr(md5(salt || key), 1, 15))::BIGINT % modulus``.
+    One definition so a portability tweak cannot desynchronize one
+    family's SQL-oracle parity."""
+    h = F.conv(
+        F.substring(F.md5(F.encode(F.concat(F.lit(salt), key), "UTF-8")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return h % modulus
+
+
 def _cms_bucket(token: Column, row: int, width: int) -> Column:
-    """Portable bucket: md5('row:' || token) first 15 hex chars mod w —
-    DuckDB twin: ``('0x' || substr(md5(r || ':' || tok), 1, 15))::BIGINT % w``."""
-    salted = F.concat(F.lit(f"{row}:"), token)
-    h = F.conv(F.substring(F.md5(F.encode(salted, "UTF-8")), 1, 15), 16, 10).cast(
-        "long"
-    )
-    return h % width
+    """CMS row bucket: salt '<row>:'."""
+    return _salted_bucket(token, f"{row}:", width)
 
 
 def cms_build(
@@ -223,15 +232,9 @@ BLOOM_M = 4096     # bits
 
 
 def _bloom_bit(key: Column, row: int, m_bits: int) -> Column:
-    """Portable bit position: md5('b<row>:' || key) first 15 hex chars
-    mod m — DuckDB twin:
-    ``('0x' || substr(md5('b<row>:' || key), 1, 15))::BIGINT % m``.
-    The 'b' salt prefix keeps the family disjoint from the CMS rows."""
-    salted = F.concat(F.lit(f"b{row}:"), key)
-    h = F.conv(F.substring(F.md5(F.encode(salted, "UTF-8")), 1, 15), 16, 10).cast(
-        "long"
-    )
-    return h % m_bits
+    """Bloom bit position: salt 'b<row>:' — the 'b' prefix keeps the
+    family disjoint from the CMS rows."""
+    return _salted_bucket(key, f"b{row}:", m_bits)
 
 
 def bloom_build(

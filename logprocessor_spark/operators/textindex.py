@@ -140,18 +140,16 @@ def bm25_topk(
     time, the same deferred-division contract as the KN tables).
 
     Scale shape: the term filter is pushed to the postings scan; df and
-    the N/TL scalars are tiny (df broadcasts, scalars collect driver-side
-    — two ints); dl is a narrow scan-side projection of the corpus
-    joined to candidates on doc_id (AQE broadcasts the candidate side);
-    top-k is TakeOrderedAndProject. Ties break on doc_id asc."""
+    the N/TL scalars stay IN-PLAN as a broadcast single-row relation
+    (the tfidf_topk pattern — no eager driver collect, no extra corpus
+    scan per call, and an empty corpus yields an empty top-k instead of
+    a crash); dl is a narrow scan-side projection of the corpus joined
+    to candidates on doc_id (AQE broadcasts the candidate side); top-k
+    is TakeOrderedAndProject. Ties break on doc_id asc."""
+    from .lm_score import log2_fx16
     from .ngram_lm import _half_up
 
     terms = sorted(set(terms))
-
-    def log2_fx16_int(v: int) -> int:
-        b = v.bit_length()
-        return (b - 2) * 65536 + (v * 65536) // (1 << (b - 1))
-
     dl_rel = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(F.filter(tokens_of(text_col), lambda t: t != ""))
@@ -159,33 +157,30 @@ def bm25_topk(
         .alias("dl"),
     )
     scal = dl_rel.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("tl")
-    ).first()
-    n_docs, tl = int(scal["n"]), int(scal["tl"])
-    idf_base = log2_fx16_int(2 * n_docs + 2)
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("tl"),
+    )
     postings = build_postings(docs, text_col, id_col).where(
         F.col("token").isin(terms)
     )
     df_rel = document_frequency(postings)
-    # idf per token: bit-length form of log2_fx16 on (2*df+1)
-    dfc = F.lit(2) * F.col("df") + F.lit(1)
-    b = F.length(F.bin(dfc))
-    frac = F.call_function(
-        "div",
-        dfc * F.lit(65536).cast("long"),
-        F.call_function("shiftleft", F.lit(1).cast("long"), (b - F.lit(1)).cast("int")),
-    )
-    idf_fx = F.lit(idf_base) - ((b.cast("long") - F.lit(2)) * 65536 + frac)
+    # idf per token: the ONE fixed-point log2 definition (lm_score) on
+    # both terms — idf_fx16 = log2_fx16(2N+2) - log2_fx16(2df+1)
+    idf_fx = log2_fx16(
+        F.lit(2) * F.col("n") + F.lit(2)
+    ) - log2_fx16(F.lit(2) * F.col("df") + F.lit(1))
     scored = (
-        postings.join(F.broadcast(df_rel.withColumn("idf_fx", idf_fx)), "token")
+        postings.join(F.broadcast(df_rel), "token")
+        .crossJoin(F.broadcast(scal))
+        .withColumn("idf_fx", idf_fx)
         .join(dl_rel, "doc_id")
         .withColumn(
             "term_fx",
             _half_up(
-                F.col("idf_fx") * F.lit(22) * F.col("tf") * F.lit(tl),
-                F.lit(10) * F.col("tf") * F.lit(tl)
-                + F.lit(3) * F.lit(tl)
-                + F.lit(9) * F.col("dl") * F.lit(n_docs),
+                F.col("idf_fx") * F.lit(22) * F.col("tf") * F.col("tl"),
+                F.lit(10) * F.col("tf") * F.col("tl")
+                + F.lit(3) * F.col("tl")
+                + F.lit(9) * F.col("dl") * F.col("n"),
             ),
         )
         .groupBy("doc_id")

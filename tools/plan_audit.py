@@ -451,8 +451,10 @@ def main() -> None:
     #  - ivf_lists / ivfpq_topk: crossJoin against the BROADCAST KC-row
     #    coarse codebook (8 rows) / nprobe-row probe list — fixed-size
     #    dimension attach, not a candidate-pair explosion.
+    #  - bm25_topk: same 1-row scalar attach as tfidf_topk (broadcast
+    #    single-row N/TL relation)
     allowed_bnlj = {
-        "near_dup_embeddings", "knn_join", "tfidf_topk",
+        "near_dup_embeddings", "knn_join", "tfidf_topk", "bm25_topk",
         "ivf_lists", "ivfpq_topk", "ivfpq_topk_pruned",
     }
     offenders = []
