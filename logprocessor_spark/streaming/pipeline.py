@@ -369,3 +369,31 @@ def stream_lm_gate(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_bloom_gate(
+    pages_stream: DataFrame,
+    bloom_words: list[int],
+    key_col: str = "url",
+    k: int = 4,
+    m_bits: int = 4096,
+    keep_maybe_members: bool = False,
+):
+    """Streaming recrawl gate: probe each page's key against a PACKED
+    Bloom filter of history (``sketch.bloom_pack`` output) and keep the
+    unseen ones — the crawl-frontier filter, pure column expressions
+    over one array literal, so it fuses into the micro-batch scan with
+    ZERO streaming state and zero shuffle (contrast
+    ``stream_dedup_canonical_url``, which carries watermark state for
+    exact within-horizon dedup; the Bloom form trades a known false-
+    positive rate — some unseen URLs skipped — for no state at all,
+    which is the right trade for a billion-URL history).
+
+    Returns a transformed stream (caller binds the sink), keeping rows
+    whose key is NOT maybe-member (or the members, with
+    ``keep_maybe_members=True`` — the "what did we recrawl" view)."""
+    from ..operators.sketch import bloom_probe
+
+    probed = bloom_probe(pages_stream, bloom_words, key_col, k, m_bits)
+    want = F.col("maybe_member") if keep_maybe_members else ~F.col("maybe_member")
+    return probed.where(want).drop("maybe_member")

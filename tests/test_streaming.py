@@ -342,3 +342,52 @@ def test_stream_lm_gate_matches_batch(spark, tmp_path):
     }
     assert got == want
     lm.unpersist()
+
+
+def test_stream_bloom_gate_matches_batch(spark, tmp_path):
+    """The streaming Bloom recrawl gate keeps exactly the rows the batch
+    probe keeps, and the streaming plan carries no stateful operator
+    (pure scan-side filter)."""
+    from logprocessor_spark.operators.sketch import (
+        bloom_build,
+        bloom_pack,
+        bloom_probe,
+    )
+    from logprocessor_spark.streaming.pipeline import stream_bloom_gate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id",
+        F.format_string(
+            "https://host%03d.example.com/d/%d",
+            (F.col("doc_id") % 200).cast("int"),
+            F.col("doc_id"),
+        ).alias("url"),
+    )
+    history = docs.where("doc_id % 3 = 0")
+    words = bloom_pack(bloom_build(history, "url"))
+    want = {
+        r.doc_id
+        for r in bloom_probe(docs, words, "url").where("NOT maybe_member").collect()
+    }
+    assert 0 < len(want) < docs.count()
+
+    src_dir = str(tmp_path / "src")
+    docs.repartition(2).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        stream_bloom_gate(stream, words)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    assert got == want
